@@ -1,0 +1,38 @@
+"""Test harness: force a deterministic 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on virtual devices; the driver separately
+dry-runs the real multi-chip path via __graft_entry__.dryrun_multichip.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def qvhl_fixtures():
+    """Reference-shipped QVHighlights val predictions + GT (plot/qvhl/)."""
+    import json
+
+    def load(path):
+        with open(path) as f:
+            return [json.loads(line) for line in f]
+
+    gt = load(os.path.join(REFERENCE, "plot/qvhl/gt.jsonl"))
+    pred = load(os.path.join(REFERENCE, "plot/qvhl/univtg.jsonl"))
+    return pred, gt
