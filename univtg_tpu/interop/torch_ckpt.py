@@ -1,0 +1,103 @@
+"""PyTorch -> JAX checkpoint interop for released UniVTG weights.
+
+Maps the reference Model's state_dict (model/univtg.py:51-103 layout; ckpt
+container format documented at main/train_mr.py:149-187 / main/config.py:
+362-374) onto this framework's param pytree. Layout rules:
+
+  torch Linear weight (out, in)    -> dense kernel (in, out)      [transpose]
+  torch Conv1d weight (out, in, k) -> conv kernel (k, in, out)    [perm 2,1,0]
+  torch MHA in_proj_weight (3D, D) -> in_proj_kernel (D, 3D)      [transpose]
+  LayerNorm weight/bias            -> scale/bias                  [as-is]
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _dense(sd, prefix):
+    return {"kernel": _np(sd[f"{prefix}.weight"]).T, "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _norm(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _conv(sd, prefix):
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _input_proj(sd, prefix, n_layers):
+    out = {}
+    for i in range(n_layers):
+        out[f"layers_{i}"] = {
+            "norm": _norm(sd, f"{prefix}.{i}.LayerNorm"),
+            "dense": _dense(sd, f"{prefix}.{i}.net.1"),
+        }
+    return out
+
+
+def _encoder_layer(sd, prefix):
+    return {
+        "in_proj_kernel": _np(sd[f"{prefix}.self_attn.in_proj_weight"]).T,
+        "in_proj_bias": _np(sd[f"{prefix}.self_attn.in_proj_bias"]),
+        "out_kernel": _np(sd[f"{prefix}.self_attn.out_proj.weight"]).T,
+        "out_bias": _np(sd[f"{prefix}.self_attn.out_proj.bias"]),
+        "linear1": _dense(sd, f"{prefix}.linear1"),
+        "linear2": _dense(sd, f"{prefix}.linear2"),
+        "norm1": _norm(sd, f"{prefix}.norm1"),
+        "norm2": _norm(sd, f"{prefix}.norm2"),
+    }
+
+
+def params_from_torch_state_dict(state_dict, cfg):
+    """Build this framework's UniVTG param pytree from a torch state_dict.
+
+    Args:
+      state_dict: mapping of torch parameter names to tensors/arrays; DDP
+        'module.' prefixes are stripped (main/config.py:366-367).
+      cfg: ModelConfig matching the checkpoint's architecture.
+    Returns:
+      {'params': ...} pytree for UniVTG.apply.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+
+    params = {
+        "input_vid_proj": _input_proj(sd, "input_vid_proj", cfg.n_input_proj),
+        "input_txt_proj": _input_proj(sd, "input_txt_proj", cfg.n_input_proj),
+        "token_type_embedding": _np(sd["token_type_embeddings.weight"]),
+        "encoder": {},
+        "class_head": {},
+        "span_head": {},
+        "weighted_pool": {"w": _np(sd["weightedpool.weight"])},
+    }
+    for i in range(cfg.num_layers):
+        params["encoder"][f"layers_{i}"] = _encoder_layer(
+            sd, f"transformer.encoder.layers.{i}"
+        )
+    for i in range(3):
+        params["class_head"][f"conv_{i}"] = _conv(sd, f"class_embed.layers.{i}")
+        params["span_head"][f"conv_{i}"] = _conv(sd, f"span_embed.layers.{i}")
+    if cfg.use_txt_pos:
+        params["txt_pos"] = {
+            "embedding": _np(sd["txt_position_embed.position_embeddings.weight"]),
+            "norm": _norm(sd, "txt_position_embed.LayerNorm"),
+        }
+    return {"params": params}
+
+
+def load_torch_checkpoint(path, cfg):
+    """Load a released UniVTG .ckpt file ({'model': state_dict, 'opt': ...})."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
+    return params_from_torch_state_dict(state_dict, cfg)

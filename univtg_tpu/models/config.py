@@ -1,0 +1,60 @@
+"""Typed model configuration.
+
+Replaces the model-relevant slice of the reference's ~90 argparse flags
+(main/config.py:28-204) with a frozen dataclass that can be serialized next
+to checkpoints and is hashable for jit static args.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # input feature dims (after TEF concat if used; see DataConfig)
+    vid_dim: int = 2818  # slowfast 2304 + clip 512 + tef 2 (scripts/qvhl_pretrain.sh)
+    txt_dim: int = 512
+    hidden_dim: int = 1024
+    # encoder
+    num_layers: int = 4
+    num_heads: int = 8
+    ffn_dim: int = 1024
+    dropout: float = 0.0
+    droppath: float = 0.1
+    input_dropout: float = 0.5
+    pre_norm: bool = False
+    # input projectors (LN -> dropout -> dense [-> relu]) stacks
+    n_input_proj: int = 2
+    # heads
+    span_loss_type: str = "l1"  # "l1" (offset regression) | "ce" (start/end cls)
+    max_v_l: int = 75
+    use_txt_pos: bool = False
+    max_q_l: int = 32
+    # numerics: params are always f32; activations run in compute_dtype
+    compute_dtype: str = "float32"
+    # attention implementation: "xla" | "pallas" (pallas requires TPU)
+    attention_impl: str = "xla"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_dim % self.num_heads == 0
+        return self.hidden_dim // self.num_heads
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ModelConfig":
+        return cls(**json.loads(s))
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,98 @@
+"""Multi-head attention ops.
+
+Two interchangeable implementations behind one functional interface:
+
+  * "xla":    einsum attention; XLA fuses the softmax chain and maps the
+              matmuls onto the MXU. Best for the short sequences (<=512)
+              of the grounding model.
+  * "pallas": fused flash-attention kernel (univtg_tpu/ops/pallas_attention)
+              for long-context extraction / pretraining on TPU; falls back
+              to "xla" off-TPU.
+
+Semantics match torch.nn.MultiheadAttention as used by the reference encoder
+(model/transformer_encoder_droppath.py:117-118): positional embeddings are
+added to Q and K only (not V), and `key_padding_mask` marks *invalid* keys.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention_scores_bias(key_padding_mask):
+    """(B, Lk) float mask (1=valid) -> (B, 1, 1, Lk) additive bias."""
+    return (1.0 - key_padding_mask)[:, None, None, :] * NEG_INF
+
+
+def sdpa_xla(q, k, v, bias, num_heads: int, dropout_rate=0.0, dropout_rng=None):
+    """Scaled dot-product attention over (B, L, D) inputs.
+
+    Args:
+      q, k, v: (B, L, D) already-projected tensors.
+      bias: (B, 1, 1, Lk) additive logits bias (or None).
+      num_heads: head count; D % num_heads == 0.
+    Returns:
+      (B, Lq, D) attention output (pre out-projection).
+    """
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    H = num_heads
+    dh = D // H
+    q = q.reshape(B, Lq, H, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Lk, H, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Lk, H, dh).transpose(0, 2, 1, 3)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * (dh**-0.5), k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, D).astype(q.dtype)
+
+
+def multihead_attention(
+    q_in,
+    k_in,
+    v_in,
+    *,
+    in_proj_kernel,
+    in_proj_bias,
+    out_kernel,
+    out_bias,
+    num_heads: int,
+    key_padding_mask=None,
+    impl: str = "xla",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+):
+    """Full MHA with packed qkv projection (torch in_proj layout, transposed).
+
+    Args:
+      q_in, k_in, v_in: (B, L, D) inputs (q/k typically carry +pos).
+      in_proj_kernel: (D, 3D) packed [q|k|v] projection (x @ kernel).
+      in_proj_bias: (3D,).
+      out_kernel: (D, D) output projection; out_bias: (D,).
+      key_padding_mask: (B, Lk) float, 1=valid.
+      impl: "xla" | "pallas".
+    """
+    D = q_in.shape[-1]
+    q = q_in @ in_proj_kernel[:, :D] + in_proj_bias[:D]
+    k = k_in @ in_proj_kernel[:, D : 2 * D] + in_proj_bias[D : 2 * D]
+    v = v_in @ in_proj_kernel[:, 2 * D :] + in_proj_bias[2 * D :]
+
+    if impl == "pallas":
+        from univtg_tpu.ops.pallas_attention import flash_attention
+
+        out = flash_attention(q, k, v, key_padding_mask, num_heads=num_heads)
+    else:
+        bias = None
+        if key_padding_mask is not None:
+            bias = attention_scores_bias(key_padding_mask)
+        out = sdpa_xla(q, k, v, bias, num_heads, dropout_rate, dropout_rng)
+    return out @ out_kernel + out_bias
