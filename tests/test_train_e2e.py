@@ -1,0 +1,104 @@
+"""End-to-end smoke: train the full MR pipeline on a synthetic corpus over
+an 8-device virtual mesh (dp=4, tp=2) and check learning + artifacts."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from univtg_tpu.data.mr import MRDataConfig
+from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+from univtg_tpu.models import ModelConfig
+from univtg_tpu.train.driver_mr import TrainConfig, train_mr
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_train")
+    return create_synthetic_mr_corpus(str(root), n_train=48, n_val=16, seed=2)
+
+
+def make_cfg(corpus, results_dir, **kw):
+    model = ModelConfig(
+        vid_dim=corpus["v_dim"] + 2,
+        txt_dim=corpus["q_dim"],
+        hidden_dim=64,
+        num_layers=2,
+        num_heads=4,
+        ffn_dim=96,
+        droppath=0.1,
+        input_dropout=0.1,
+        max_v_l=corpus["max_clips"],
+        max_q_l=10,
+    )
+    data_kw = dict(
+        dset_name="qvhighlights",
+        v_feat_dirs=corpus["v_feat_dirs"],
+        q_feat_dir=corpus["q_feat_dir"],
+        q_feat_dim=corpus["q_dim"],
+        v_feat_dim=corpus["v_dim"],
+        clip_len=corpus["clip_len"],
+        max_q_l=10,
+        max_v_l=corpus["max_clips"],
+    )
+    return TrainConfig(
+        model=model,
+        train_data=MRDataConfig(data_path=corpus["train_path"], **data_kw),
+        eval_data=MRDataConfig(data_path=corpus["val_path"], **data_kw),
+        results_dir=results_dir,
+        bsz=16,
+        eval_bsz=16,
+        n_epoch=3,
+        eval_epoch=1,
+        lr=3e-4,
+        lr_warmup=1,
+        lr_drop=100,
+        max_es_cnt=100,
+        save_interval=-1,
+        dp=4,
+        tp=2,
+        **kw,
+    )
+
+
+def test_train_and_eval(corpus, tmp_path):
+    results = str(tmp_path / "run")
+    cfg = make_cfg(corpus, results)
+    metrics, best_path = train_mr(cfg)
+
+    # artifacts
+    assert os.path.exists(best_path)
+    assert os.path.exists(os.path.join(results, "opt.json"))
+    lines = [
+        json.loads(l) for l in open(os.path.join(results, "train_log.jsonl"))
+    ]
+    assert len(lines) == 3
+    assert lines[-1]["loss_overall"] < lines[0]["loss_overall"]
+
+    # metrics structure from the exact-parity evaluator
+    brief = metrics["brief"]
+    assert "MR-full-mAP-key" in brief and "HL-min-VeryGood-mAP-key" in brief
+    # the synthetic signal is strong; sanity-check it learned *something*
+    assert brief["MR-full-mIoU-key"] > 5.0
+
+
+def test_checkpoint_roundtrip(corpus, tmp_path):
+    import jax
+
+    from univtg_tpu.train import checkpoint as ckpt
+    from univtg_tpu.train.driver_mr import build_everything
+
+    cfg = make_cfg(corpus, str(tmp_path / "ck"))
+    model, optimizer, state = build_everything(cfg, steps_per_epoch=3)
+    path = str(tmp_path / "ck" / "model_test.ckpt")
+    ckpt.save_checkpoint(path, state, epoch=7, config_json="{}")
+    state2, epoch = ckpt.restore_checkpoint(path, state)
+    assert epoch == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(state2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    params = ckpt.restore_params(path, state.params)
+    assert len(jax.tree_util.tree_leaves(params)) == len(
+        jax.tree_util.tree_leaves(state.params)
+    )

@@ -1,0 +1,62 @@
+"""Batch assembly into static shapes.
+
+The reference pads to the per-batch max (main/dataset.py:1037-1100); XLA
+wants a fixed shape ladder, so batches are padded to (max_q_l, max_v_l) --
+or to a bucket from `padding.default_buckets` for long-video pretraining.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from univtg_tpu.core.padding import pad_stack, pad_to
+
+
+def collate_mr(items, max_q_l: int, max_v_l: int, pad_batch_to: Optional[int] = None):
+    """Items (from MRDataset) -> {'model_inputs', 'targets', 'meta'}.
+
+    If pad_batch_to is given, the batch dim is padded with repeats of the
+    last item and `batch_mask` marks real rows (keeps shapes static for the
+    final partial batch of an epoch).
+    """
+    n_real = len(items)
+    if pad_batch_to is not None and n_real < pad_batch_to:
+        items = list(items) + [items[-1]] * (pad_batch_to - n_real)
+
+    src_txt, src_txt_mask = pad_stack([it["query_feat"] for it in items], max_q_l)
+    src_vid, src_vid_mask = pad_stack([it["video_feat"] for it in items], max_v_l)
+    timestamp, _ = pad_stack([it["timestamp"] for it in items], max_v_l)
+    span_nn, _ = pad_stack([it["span_labels_nn"] for it in items], max_v_l)
+    window, _ = pad_stack([it["timestamp_window"] for it in items], max_v_l)
+
+    batch_mask = np.zeros(len(items), np.float32)
+    batch_mask[:n_real] = 1.0
+
+    model_inputs = {
+        "src_txt": src_txt.astype(np.float32),
+        "src_txt_mask": src_txt_mask,
+        "src_vid": src_vid.astype(np.float32),
+        "src_vid_mask": src_vid_mask,
+    }
+    targets = {
+        "timestamp": timestamp.astype(np.float32),
+        "timestamp_mask": src_vid_mask,
+        "timestamp_window": window.astype(np.float32),
+        "span_labels_nn": span_nn.astype(np.float32),
+        "batch_mask": batch_mask,
+    }
+    if "saliency_scores" in items[0]:
+        sal, _ = pad_stack([it["saliency_scores"] for it in items], max_v_l)
+        targets["saliency_scores"] = sal.astype(np.float32)
+        targets["saliency_pos_labels"] = np.stack(
+            [it["saliency_pos_labels"] for it in items]
+        ).astype(np.int32)
+        targets["saliency_neg_labels"] = np.stack(
+            [it["saliency_neg_labels"] for it in items]
+        ).astype(np.int32)
+    if "gates" in items[0]:
+        targets["gates"] = np.stack([it["gates"] for it in items]).astype(np.float32)
+
+    meta = [it["meta"] for it in items[:n_real]]
+    return {"model_inputs": model_inputs, "targets": targets, "meta": meta}

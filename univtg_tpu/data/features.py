@@ -1,0 +1,84 @@
+"""Host-side feature IO: per-id npz dirs, whole-split h5 caches, jsonl.
+
+The device never sees ragged data; these helpers produce numpy arrays that
+the collator pads into static bucket shapes.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def load_jsonl(path: str):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def save_jsonl(rows, path: str):
+    with open(path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def l2_normalize(x: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    """Row L2 normalization with the reference's additive-eps convention
+    (utils/basic_utils.py:97-99)."""
+    return x / (np.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+class FeatureSource:
+    """Per-id .npz feature directory with optional whole-split h5 cache.
+
+    Mirrors DatasetMR's IO behavior (main/dataset.py:448-467, 680-696):
+    h5 caches already store L2-normalized features (data/create_h5py.py),
+    npz files are normalized on load.
+    """
+
+    def __init__(
+        self,
+        feat_dir: str,
+        key: str = "features",
+        normalize: bool = True,
+        h5_cache_path: Optional[str] = None,
+        cache_keys: Optional[Sequence] = None,
+    ):
+        self.feat_dir = feat_dir
+        self.key = key
+        self.normalize = normalize
+        self.cache = None
+        if h5_cache_path and os.path.exists(h5_cache_path):
+            import h5py
+
+            with h5py.File(h5_cache_path, "r") as f:
+                keys = cache_keys if cache_keys is not None else list(f.keys())
+                self.cache = {}
+                for k in keys:
+                    if str(k) in f:
+                        self.cache[str(k)] = f[str(k)][:]
+
+    def get(self, fid) -> Optional[np.ndarray]:
+        if self.cache is not None:
+            return self.cache.get(str(fid))
+        path = os.path.join(self.feat_dir, f"{fid}.npz")
+        try:
+            feat = np.load(path)[self.key].astype(np.float32)
+        except (OSError, KeyError, ValueError):
+            return None
+        if self.normalize:
+            feat = l2_normalize(feat)
+        return feat
+
+
+def load_video_features(sources: Sequence[FeatureSource], vid) -> Optional[np.ndarray]:
+    """Concatenate multi-backbone features on the channel dim after
+    truncating to the shortest stream (main/dataset.py:680-696)."""
+    feats = []
+    for src in sources:
+        f = src.get(vid)
+        if f is None:
+            return None
+        feats.append(f)
+    min_len = min(len(f) for f in feats)
+    return np.concatenate([f[:min_len] for f in feats], axis=1)

@@ -1,0 +1,207 @@
+"""Grounding losses as pure jittable functions.
+
+Mirrors the reference SetCriterion (model/univtg.py:157-351) with dense
+per-clip supervision and no Hungarian matching (the reference builds a
+matcher but never uses its assignment for UniVTG -- univtg.py:345).
+
+All losses are mask-disciplined for static shapes: boolean-indexing in the
+reference becomes multiply-by-mask + masked reductions here.
+
+Extensions beyond the reference:
+  * `gates` -- optional (B, 5) per-sample loss gate [b, g, f, s_intra,
+    s_inter] for multi-corpus VLP batches mixing point/interval/curve
+    supervision (the reference plumbs `weight_ablation` into targets at
+    main/dataset.py:232-238 but never consumes it; here it actually gates).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from univtg_tpu.core.spans import giou_paired
+from univtg_tpu.models.layers import mask_log, sim_matrix
+
+TEMPERATURE = 0.07  # hard-coded in the reference (model/univtg.py:185)
+
+
+def smooth_l1(x, y, beta: float = 1.0):
+    d = jnp.abs(x - y)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def _safe_div(num, den):
+    return num / jnp.maximum(den, 1.0)
+
+
+def loss_spans(outputs, targets, gates=None):
+    """Boundary regression: smooth-L1 + GIoU on in-window clips
+    (model/univtg.py:195-214)."""
+    src_spans = targets["timestamp"] + outputs["pred_spans"]
+    gt_spans = targets["span_labels_nn"]
+    valid = targets["timestamp_window"].astype(src_spans.dtype)  # (B, Lv)
+    if gates is not None:
+        valid_b = valid * gates[:, None, 0]
+        valid_g = valid * gates[:, None, 1]
+    else:
+        valid_b = valid_g = valid
+
+    l1 = smooth_l1(src_spans, gt_spans) * valid_b[..., None]
+    loss_b = _safe_div(l1.sum(), valid_b.sum())
+
+    giou = giou_paired(src_spans, gt_spans)  # (B, Lv)
+    loss_g = _safe_div(((1.0 - giou) * valid_g).sum(), valid_g.sum())
+    return {"loss_b": loss_b, "loss_g": loss_g}
+
+
+def loss_labels(outputs, targets, eos_coef: float = 0.1, gates=None):
+    """Per-clip foreground BCE with background down-weighting
+    (model/univtg.py:216-232)."""
+    probs = outputs["pred_logits"][..., 0]  # sigmoid probabilities (B, Lv)
+    mask = targets["timestamp_mask"].astype(probs.dtype)
+    valid = targets["timestamp_window"].astype(probs.dtype)
+
+    weights = mask * eos_coef + valid * (1.0 - eos_coef)
+    # torch F.binary_cross_entropy clamps log terms at -100
+    logp = jnp.clip(jnp.log(jnp.maximum(probs, 0.0)), -100.0, None)
+    log1mp = jnp.clip(jnp.log(jnp.maximum(1.0 - probs, 0.0)), -100.0, None)
+    ce = -(valid * logp + (1.0 - valid) * log1mp) * weights
+    if gates is not None:
+        ce = ce * gates[:, None, 2]
+    return {"loss_f": _safe_div((ce * mask).sum(), mask.sum())}
+
+
+def loss_saliency(outputs, targets, gates=None):
+    """Inter-video InfoNCE + intra-video below-positive contrastive
+    (model/univtg.py:235-282)."""
+    sal = targets["saliency_scores"]  # (B, Lv) dense scores
+    pos_idx = targets["saliency_pos_labels"]  # (B,) int
+    if pos_idx.ndim == 2:
+        pos_idx = pos_idx[:, 0]
+    bsz = sal.shape[0]
+    batch_idx = jnp.arange(bsz)
+
+    vid_mem = outputs["vid_mem_proj"]  # (B, Lv, D)
+    txt_feats = outputs["txt_mem_proj"][:, 0, :]  # (B, D)
+    vid_feats = vid_mem[batch_idx, pos_idx]  # (B, D)
+
+    # inter-video: positive clip vs the batch of sentences, both directions
+    sim = sim_matrix(vid_feats, txt_feats)
+    i_diag = jnp.diagonal(jax.nn.log_softmax(sim / TEMPERATURE, axis=1))
+    j_diag = jnp.diagonal(jax.nn.log_softmax(sim.T / TEMPERATURE, axis=1))
+    if gates is not None:
+        g = gates[:, 4]
+        inter = -_safe_div((i_diag * g).sum(), g.sum()) - _safe_div(
+            (j_diag * g).sum(), g.sum()
+        )
+    else:
+        inter = -i_diag.mean() - j_diag.mean()
+
+    # intra-video: clips scoring below the sampled positive are in-softmax
+    mask = targets["timestamp_mask"]
+    selected = sal[batch_idx, pos_idx][:, None]  # (B, 1)
+    below = (sal < selected).astype(mask.dtype)
+    below = below.at[batch_idx, pos_idx].set(1.0)
+    in_mask = below * mask
+
+    sim_in = _cosine_rows(vid_mem, txt_feats[:, None, :])  # (B, Lv)
+    sim_in = sim_in + mask_log(in_mask)
+    logsm_i = jax.nn.log_softmax(sim_in / TEMPERATURE, axis=1)
+    logsm_j = jax.nn.log_softmax(sim_in / TEMPERATURE, axis=0)
+    pos_i = logsm_i[batch_idx, pos_idx]
+    pos_j = logsm_j[batch_idx, pos_idx]
+    if gates is not None:
+        g = gates[:, 3]
+        intra = -_safe_div((pos_i * g).sum(), g.sum()) - _safe_div(
+            (pos_j * g).sum(), g.sum()
+        )
+    else:
+        intra = -pos_i.mean() - pos_j.mean()
+
+    # whole-batch zero saliency disables both terms (univtg.py:240-241)
+    has_signal = (sal.sum() != 0).astype(inter.dtype)
+    return {
+        "loss_s_inter": inter * has_signal,
+        "loss_s_intra": intra * has_signal,
+    }
+
+
+def loss_saliency_cls(outputs, targets, gates=None):
+    """TAL-style saliency: inter-video InfoNCE + class-feature contrastive
+    (model/univtg.py:284-326). Requires outputs['cls_mem_proj'] and
+    targets['cls_idx'] (B, C) one/multi-hot."""
+    sal = targets["saliency_scores"]
+    pos_idx = targets["saliency_pos_labels"]
+    if pos_idx.ndim == 2:
+        pos_idx = pos_idx[:, 0]
+    bsz = sal.shape[0]
+    batch_idx = jnp.arange(bsz)
+
+    vid_feats = outputs["vid_mem_proj"][batch_idx, pos_idx]
+    txt_feats = outputs["txt_mem_proj"][:, 0, :]
+    sim = sim_matrix(vid_feats, txt_feats)
+    i_diag = jnp.diagonal(jax.nn.log_softmax(sim / TEMPERATURE, axis=1))
+    j_diag = jnp.diagonal(jax.nn.log_softmax(sim.T / TEMPERATURE, axis=1))
+    inter = -i_diag.mean() - j_diag.mean()
+
+    out = {"loss_s_inter": inter}
+    if "cls_idx" in targets:
+        cls_idx = targets["cls_idx"].astype(sal.dtype)  # (B, C)
+        cls_feats = outputs["cls_mem_proj"]  # (C, D) or (B, D)
+        if cls_feats.ndim == 3:
+            cls_feats = cls_feats[:, 0, :]
+        sim_cls = sim_matrix(vid_feats, cls_feats)
+        logsm = jax.nn.log_softmax(sim_cls / TEMPERATURE, axis=1)
+        count = jnp.maximum(cls_idx.sum(), 1.0)
+        out["loss_s_intra"] = -(logsm * cls_idx).sum() / count
+    has_signal = (sal.sum() != 0).astype(inter.dtype)
+    return {k: v * has_signal for k, v in out.items()}
+
+
+def _cosine_rows(a, b, eps=1e-8):
+    an = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
+    bn = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
+    return jnp.sum(a * b, axis=-1) / (an * bn)
+
+
+class LossWeights:
+    """Loss coefficient container (argparse *_loss_coef flags)."""
+
+    def __init__(self, b=10.0, g=1.0, f=10.0, s_intra=0.1, s_inter=0.1, eos_coef=0.1):
+        self.b, self.g, self.f = b, g, f
+        self.s_intra, self.s_inter = s_intra, s_inter
+        self.eos_coef = eos_coef
+
+    def as_dict(self):
+        return {
+            "loss_b": self.b,
+            "loss_g": self.g,
+            "loss_f": self.f,
+            "loss_s_intra": self.s_intra,
+            "loss_s_inter": self.s_inter,
+        }
+
+
+def compute_losses(
+    outputs,
+    targets,
+    weights: LossWeights,
+    losses=("spans", "labels", "saliency"),
+    gates: Optional[jnp.ndarray] = None,
+):
+    """Dispatch + weighted total. `losses` selection follows build_model
+    (model/univtg.py:434-440): mr/vlp -> spans+labels+saliency (saliency_cls
+    for TAL corpora), hl/vs -> labels+saliency."""
+    out = {}
+    if "spans" in losses:
+        out.update(loss_spans(outputs, targets, gates))
+    if "labels" in losses:
+        out.update(loss_labels(outputs, targets, weights.eos_coef, gates))
+    if "saliency" in losses:
+        out.update(loss_saliency(outputs, targets, gates))
+    if "saliency_cls" in losses:
+        out.update(loss_saliency_cls(outputs, targets, gates))
+    wd = weights.as_dict()
+    out["loss_overall"] = sum(v * wd[k] for k, v in out.items() if k in wd)
+    return out

@@ -1,0 +1,6 @@
+from univtg_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate_params,
+    param_shardings,
+)

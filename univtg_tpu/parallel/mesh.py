@@ -1,0 +1,85 @@
+"""Device mesh + sharding layout.
+
+SPMD strategy (replaces the reference's DDP/NCCL data parallelism,
+main/train_vlp_ddp.py:215-275):
+
+  * mesh axes ("dp", "tp"): batch is sharded over dp; the encoder's
+    attention/FFN parameter matrices are sharded over tp (Megatron-style
+    column->row pairing: in_proj/linear1 shard the output dim, out/linear2
+    shard the input dim), so each tp pair needs a single all-reduce that XLA
+    inserts automatically.
+  * gradients: all-reduce over dp is implicit in jit'ed SPMD -- XLA emits
+    the collectives over ICI.
+  * per-host data sharding replaces DistributedSampler (Loader shard_index /
+    num_shards).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != {n} devices"
+    grid = np.asarray(devices).reshape(dp, tp)
+    return Mesh(grid, ("dp", "tp"))
+
+
+# parameter-path regex -> PartitionSpec over ("dp", "tp") mesh
+_TP_RULES = (
+    (re.compile(r"encoder/layers_\d+/in_proj_kernel$"), P(None, "tp")),
+    (re.compile(r"encoder/layers_\d+/in_proj_bias$"), P("tp")),
+    (re.compile(r"encoder/layers_\d+/out_kernel$"), P("tp", None)),
+    (re.compile(r"encoder/layers_\d+/linear1/kernel$"), P(None, "tp")),
+    (re.compile(r"encoder/layers_\d+/linear1/bias$"), P("tp")),
+    (re.compile(r"encoder/layers_\d+/linear2/kernel$"), P("tp", None)),
+)
+
+
+def _spec_for_path(path: str):
+    for rule, spec in _TP_RULES:
+        if rule.search(path):
+            return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings: tp-sharded encoder matrices, rest replicated."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return "/".join(
+            p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+        )
+
+    specs = {path_str(p): _spec_for_path(path_str(p)) for p, _ in flat}
+
+    def assign(path, leaf):
+        return NamedSharding(mesh, specs[path_str(path)])
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def replicate_params(mesh: Mesh, params):
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the leading axis split over dp.
+
+    Non-array leaves (meta lists) must be stripped before calling.
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,233 @@
+"""Moment-retrieval training driver (the reference's main/train_mr.py).
+
+Single entry `train_mr(cfg)`: datasets -> mesh -> jitted train/eval steps ->
+epoch loop with periodic evaluation, main-metric early stopping, and the
+best/latest/periodic checkpoint triple. Metrics stream to jsonl logs instead
+of TensorBoard scalars (train_log.jsonl / eval_log.jsonl in results_dir).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from univtg_tpu.data.collate import collate_mr
+from univtg_tpu.data.loader import Loader
+from univtg_tpu.data.mr import MRDataConfig, MRDataset
+from univtg_tpu.data.features import save_jsonl
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.models.losses import LossWeights
+from univtg_tpu.parallel import make_mesh, replicate_params, shard_batch
+from univtg_tpu.train import checkpoint as ckpt
+from univtg_tpu.train.infer_mr import (
+    apply_nms,
+    evaluate_submission,
+    run_inference,
+)
+from univtg_tpu.train.schedule import build_schedule
+from univtg_tpu.train.steps import (
+    init_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train_data: Optional[MRDataConfig] = None
+    eval_data: Optional[MRDataConfig] = None
+    results_dir: str = "results/run"
+    # optimization (defaults = scripts/qvhl_pretrain.sh)
+    bsz: int = 32
+    eval_bsz: int = 32
+    n_epoch: int = 200
+    lr: float = 1e-4
+    lr_drop: int = 200
+    lr_gamma: float = 0.1
+    lr_warmup: float = 10
+    wd: float = 1e-4
+    grad_clip: float = 0.1
+    # losses
+    weights: LossWeights = dataclasses.field(
+        default_factory=lambda: LossWeights(b=10, g=1, f=10, s_intra=0.1, s_inter=0.1)
+    )
+    losses: Sequence[str] = ("spans", "labels", "saliency")
+    # eval
+    eval_epoch: int = 5
+    eval_init: bool = False
+    main_metric: str = "MR-full-mAP"
+    eval_mode: Optional[str] = "add"
+    nms_thd: float = -1.0
+    max_before_nms: int = 10
+    max_after_nms: int = 10
+    round_multiple: int = 1
+    max_es_cnt: int = 200
+    save_interval: int = 50
+    # runtime
+    seed: int = 2018
+    dp: Optional[int] = None
+    tp: int = 1
+    num_io_threads: int = 8
+    log_every: int = 50
+
+
+def _strip_meta(batch):
+    return batch["model_inputs"], batch["targets"]
+
+
+def build_everything(cfg: TrainConfig, steps_per_epoch: int):
+    model = UniVTG(cfg.model)
+    schedule = build_schedule(
+        cfg.lr, cfg.lr_warmup, cfg.lr_drop, cfg.lr_gamma, max(steps_per_epoch, 1)
+    )
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.grad_clip)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = init_state(model, cfg.model, optimizer, rng)
+    return model, optimizer, state
+
+
+def train_mr(cfg: TrainConfig, resume: Optional[str] = None) -> Tuple[dict, str]:
+    """Returns (best_metrics, best_ckpt_path)."""
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    train_ds = MRDataset(cfg.train_data)
+    eval_ds = MRDataset(cfg.eval_data) if cfg.eval_data else None
+
+    mesh = make_mesh(cfg.dp, cfg.tp)
+
+    train_loader = Loader(
+        train_ds,
+        cfg.bsz,
+        lambda items, pad_batch_to: collate_mr(
+            items, cfg.train_data.max_q_l, cfg.train_data.max_v_l, pad_batch_to
+        ),
+        shuffle=True,
+        seed=cfg.seed,
+        num_threads=cfg.num_io_threads,
+    )
+    steps_per_epoch = len(train_loader)
+    model, optimizer, state = build_everything(cfg, steps_per_epoch)
+    if resume:
+        state, _ = ckpt.restore_checkpoint(resume, state)
+    state = state.replace(params=replicate_params(mesh, state.params))
+
+    train_step = make_train_step(
+        model, optimizer, cfg.weights, tuple(cfg.losses)
+    )
+    eval_step = make_eval_step(model, cfg.eval_mode)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    train_log = open(os.path.join(cfg.results_dir, "train_log.jsonl"), "a")
+    eval_log = open(os.path.join(cfg.results_dir, "eval_log.jsonl"), "a")
+    cfg_json = json.dumps(
+        dataclasses.asdict(cfg), default=lambda o: str(o), indent=1
+    )
+    with open(os.path.join(cfg.results_dir, "opt.json"), "w") as f:
+        f.write(cfg_json)
+
+    best_score, best_metrics, es_cnt = -np.inf, None, 0
+    best_path = os.path.join(cfg.results_dir, "model_best.ckpt")
+    latest_path = os.path.join(cfg.results_dir, "model_latest.ckpt")
+
+    start_epoch = -1 if cfg.eval_init else 0
+    for epoch in range(start_epoch, cfg.n_epoch):
+        if epoch > -1:
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            agg = {}
+            n_steps = 0
+            for batch in train_loader:
+                model_inputs, targets = _strip_meta(batch)
+                model_inputs = shard_batch(mesh, model_inputs)
+                targets = shard_batch(mesh, targets)
+                state, metrics = train_step(state, model_inputs, targets, rng)
+                n_steps += 1
+                if n_steps % cfg.log_every == 0 or n_steps == steps_per_epoch:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    for k, v in host.items():
+                        agg[k] = agg.get(k, 0.0) + v
+            dt = time.time() - t0
+            line = {
+                "epoch": epoch,
+                "time": dt,
+                "steps": n_steps,
+                **{k: v / max(1, n_steps // cfg.log_every) for k, v in agg.items()},
+            }
+            train_log.write(json.dumps(line) + "\n")
+            train_log.flush()
+            logger.info(f"epoch {epoch}: {line}")
+
+        if eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0:
+            metrics = _eval_once(cfg, model, state, eval_ds, eval_step, epoch)
+            eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
+            eval_log.flush()
+            score = metrics["brief"].get(f"{cfg.main_metric}-key") or metrics[
+                "brief"
+            ].get(cfg.main_metric)
+            ckpt.save_checkpoint(latest_path, state, epoch, cfg_json)
+            if score is not None and score > best_score:
+                best_score, best_metrics, es_cnt = score, metrics, 0
+                ckpt.save_checkpoint(best_path, state, epoch, cfg_json)
+            else:
+                es_cnt += 1
+                if 0 <= cfg.max_es_cnt <= es_cnt:
+                    logger.info("early stop")
+                    break
+        if cfg.save_interval > 0 and epoch > 0 and epoch % cfg.save_interval == 0:
+            ckpt.save_checkpoint(
+                os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
+                state,
+                epoch,
+                cfg_json,
+            )
+
+    if best_metrics is None:  # no eval ran; save final state
+        ckpt.save_checkpoint(best_path, state, cfg.n_epoch - 1, cfg_json)
+        best_metrics = {}
+    train_log.close()
+    eval_log.close()
+    return best_metrics, best_path
+
+
+def _eval_once(cfg, model, state, eval_ds, eval_step, epoch):
+    eval_loader = Loader(
+        eval_ds,
+        cfg.eval_bsz,
+        lambda items, pad_batch_to: collate_mr(
+            items, cfg.eval_data.max_q_l, cfg.eval_data.max_v_l, pad_batch_to
+        ),
+        shuffle=False,
+        num_threads=cfg.num_io_threads,
+    )
+    submission = run_inference(
+        model,
+        state.params,
+        eval_loader,
+        eval_mode=cfg.eval_mode,
+        clip_length=cfg.eval_data.clip_len,
+        round_multiple=cfg.round_multiple,
+        eval_step=eval_step,
+    )
+    sub_path = os.path.join(cfg.results_dir, "latest_val_preds.jsonl")
+    save_jsonl(submission, sub_path)
+    metrics = evaluate_submission(submission, eval_ds.data)
+    if cfg.nms_thd > 0:
+        nms_sub = apply_nms(
+            submission, cfg.nms_thd, cfg.max_before_nms, cfg.max_after_nms
+        )
+        metrics_nms = evaluate_submission(nms_sub, eval_ds.data)
+        metrics["nms_brief"] = metrics_nms["brief"]
+    with open(
+        os.path.join(cfg.results_dir, f"metrics_e{max(epoch,0):04d}.json"), "w"
+    ) as f:
+        json.dump(metrics, f, indent=1)
+    return metrics

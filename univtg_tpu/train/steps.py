@@ -1,0 +1,127 @@
+"""Jitted train/eval step factories.
+
+One compiled program per (model config, batch shape): the host loop stays
+dumb, everything hot -- forward, losses, backward, AdamW update, grad clip --
+lives in a single XLA computation that SPMD-partitions over the mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from univtg_tpu.models.losses import LossWeights, compute_losses
+
+
+class TrainState(struct.PyTreeNode):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(schedule, weight_decay=1e-4, grad_clip=0.1):
+    """AdamW + global-norm clip (main/config.py:350, train_mr.py:61-66:
+    torch clips before step with max_norm=grad_clip)."""
+    tx = [optax.clip_by_global_norm(grad_clip)] if grad_clip > 0 else []
+    tx.append(
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    )
+    return optax.chain(*tx)
+
+
+def init_state(model, cfg, optimizer, rng, batch_shapes=None):
+    """Initialize params with dummy shapes and wrap in TrainState."""
+    Lt = batch_shapes["Lt"] if batch_shapes else cfg.max_q_l
+    Lv = batch_shapes["Lv"] if batch_shapes else cfg.max_v_l
+    txt = jnp.zeros((2, Lt, cfg.txt_dim), jnp.float32)
+    vid = jnp.zeros((2, Lv, cfg.vid_dim), jnp.float32)
+    variables = model.init(
+        rng, txt, jnp.ones((2, Lt)), vid, jnp.ones((2, Lv)), train=False
+    )
+    params = variables["params"]
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def forward(model, params, model_inputs, *, train=False, rngs=None):
+    return model.apply(
+        {"params": params},
+        model_inputs["src_txt"],
+        model_inputs["src_txt_mask"],
+        model_inputs["src_vid"],
+        model_inputs["src_vid_mask"],
+        model_inputs.get("src_cls"),
+        model_inputs.get("src_cls_mask"),
+        train=train,
+        rngs=rngs,
+    )
+
+
+def make_train_step(
+    model,
+    optimizer,
+    weights: LossWeights,
+    losses: Sequence[str] = ("spans", "labels", "saliency"),
+    use_gates: bool = False,
+    donate: bool = True,
+):
+    """Returns jitted (state, model_inputs, targets, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, model_inputs, targets, rng):
+        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            outputs = forward(
+                model,
+                params,
+                model_inputs,
+                train=True,
+                rngs={"dropout": drop_rng, "droppath": path_rng},
+            )
+            gates = targets.get("gates") if use_gates else None
+            ld = compute_losses(outputs, targets, weights, losses, gates)
+            return ld["loss_overall"], ld
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = dict(loss_dict)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, eval_mode: Optional[str] = "add"):
+    """Returns jitted (params, model_inputs, targets) -> decoded tensors.
+
+    Dense-regression decode on device (main/inference_mr.py:109-131):
+      spans   = timestamp + predicted offsets        (normalized units)
+      scores  = foreground probability, zeroed outside the valid length
+      saliency = saliency (+ fg prob when eval_mode == 'add')
+    Host side only sorts/format-rounds per query.
+    """
+
+    def step(params, model_inputs, targets):
+        outputs = forward(model, params, model_inputs, train=False)
+        prob = outputs["pred_logits"][..., 0]  # (B, Lv) sigmoid probs
+        mask = model_inputs["src_vid_mask"]
+        scores = prob * mask
+        spans = targets["timestamp"] + outputs["pred_spans"]
+        saliency = outputs["saliency_scores"]
+        # fp16 quantization for parity with the reference's .half() cast
+        saliency = saliency.astype(jnp.float16).astype(jnp.float32)
+        if eval_mode == "add":
+            saliency = saliency + prob
+        return {
+            "scores": scores,
+            "spans": spans,
+            "saliency": saliency,
+            "valid_len": mask.sum(axis=1).astype(jnp.int32),
+        }
+
+    return jax.jit(step)
