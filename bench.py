@@ -1,0 +1,93 @@
+"""Benchmark: end-to-end grounding throughput on the flagship UniVTG config.
+
+Measures clips/sec/chip through the full jitted inference path (input
+projections -> 4-layer encoder -> three heads -> dense decode) at the
+reference's released architecture (hidden 1024, slowfast+clip features,
+75-clip QVHighlights videos; scripts/qvhl_pretrain.sh).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.json north-star target of
+10_000 clips/sec/chip.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.train.steps import make_eval_step
+
+BASELINE_CLIPS_PER_SEC = 10_000.0
+
+
+def main():
+    platform = jax.devices()[0].platform
+    compute_dtype = "bfloat16" if platform != "cpu" else "float32"
+    cfg = ModelConfig(
+        vid_dim=2818,  # slowfast 2304 + clip 512 + tef 2
+        txt_dim=512,
+        hidden_dim=1024,
+        num_layers=4,
+        num_heads=8,
+        ffn_dim=1024,
+        max_v_l=75,
+        max_q_l=32,
+        compute_dtype=compute_dtype,
+    )
+    B, Lv, Lt = (256 if platform != "cpu" else 8), 75, 32
+    model = UniVTG(cfg)
+    rng = jax.random.PRNGKey(0)
+    txt = jax.random.normal(rng, (B, Lt, cfg.txt_dim), jnp.float32)
+    vid = jax.random.normal(rng, (B, Lv, cfg.vid_dim), jnp.float32)
+    txt_mask = jnp.ones((B, Lt), jnp.float32)
+    vid_mask = jnp.ones((B, Lv), jnp.float32)
+    params = model.init(rng, txt, txt_mask, vid, vid_mask, train=False)["params"]
+
+    ts = jnp.tile(((jnp.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2))
+    model_inputs = {
+        "src_txt": txt,
+        "src_txt_mask": txt_mask,
+        "src_vid": vid,
+        "src_vid_mask": vid_mask,
+    }
+    targets = {"timestamp": ts}
+    eval_step = make_eval_step(model, eval_mode="add")
+
+    # Chained iterations inside one XLA program: each step consumes a value
+    # derived from the previous step's output, so the device cannot dedupe or
+    # overlap iterations (the tunnel runtime caches identical dispatches,
+    # making naive per-call timing meaningless).
+    def chained(params, model_inputs, targets, n):
+        def body(i, carry):
+            mi = dict(model_inputs)
+            mi["src_vid"] = model_inputs["src_vid"] + carry * 1e-6
+            out = eval_step(params, mi, targets)
+            return out["scores"].mean()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    run = jax.jit(chained, static_argnums=3)
+    n_iters = 20 if platform != "cpu" else 2
+    jax.block_until_ready(run(params, model_inputs, targets, 2))  # compile+warm
+    t0 = time.perf_counter()
+    out = run(params, model_inputs, targets, n_iters)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = B * Lv * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "grounding_throughput",
+                "value": round(clips_per_sec, 1),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
