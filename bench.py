@@ -59,22 +59,27 @@ def main():
     # derived from the previous step's output, so the device cannot dedupe or
     # overlap iterations (the tunnel runtime caches identical dispatches,
     # making naive per-call timing meaningless).
-    def chained(params, model_inputs, targets, n):
+    def chained(params, model_inputs, targets, seed, n):
         def body(i, carry):
             mi = dict(model_inputs)
             mi["src_vid"] = model_inputs["src_vid"] + carry * 1e-6
             out = eval_step(params, mi, targets)
             return out["scores"].mean()
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, seed)
 
-    run = jax.jit(chained, static_argnums=3)
-    n_iters = 20 if platform != "cpu" else 2
-    jax.block_until_ready(run(params, model_inputs, targets, 2))  # compile+warm
+    run = jax.jit(chained, static_argnums=4)
+    n_iters = 50 if platform != "cpu" else 2
+    # compile + warm; the timed call gets a distinct seed value so a
+    # memoizing runtime cannot replay a cached execution, and the scalar
+    # result is fetched to host -- block_until_ready alone does not actually
+    # wait for completion under tunneled runtimes.
+    float(np.asarray(run(params, model_inputs, targets, jnp.float32(-1.0), n_iters)))
     t0 = time.perf_counter()
-    out = run(params, model_inputs, targets, n_iters)
-    jax.block_until_ready(out)
+    out = run(params, model_inputs, targets, jnp.float32(0.0), n_iters)
+    result = float(np.asarray(out))
     dt = time.perf_counter() - t0
+    assert np.isfinite(result)
 
     clips_per_sec = B * Lv * n_iters / dt
     print(
