@@ -28,8 +28,8 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != {n} devices"
-    grid = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > {n} devices"
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))
 
 
