@@ -151,3 +151,75 @@ def create_synthetic_hl_corpus(
         "q_dim": q_dim,
         "max_clips": max_clips,
     }
+
+
+def create_synthetic_qfvs_corpus(
+    root: str,
+    videos=(1, 2, 3, 4),
+    concepts=("Car", "Tree", "Food", "Sky"),
+    max_segment_num: int = 4,
+    max_frame_num: int = 16,
+    v_dim: int = 32,
+    q_dim: int = 16,
+    vid_feature: str = "fps1",
+    txt_feature: str = "query",
+    seed: int = 0,
+):
+    """UT-Egocentric-style tree: h5 segment grids, per-shot tags, oracle
+    summaries, concept embeddings pickle, and a Tags.mat-equivalent list."""
+    import itertools
+    import pickle
+
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "processed"), exist_ok=True)
+    os.makedirs(os.path.join(root, "txt_clip"), exist_ok=True)
+
+    emb = {c: rng.standard_normal((3, q_dim)).astype(np.float32) for c in concepts}
+    with open(os.path.join(root, "txt_clip", f"{txt_feature}.pkl"), "wb") as f:
+        pickle.dump(emb, f)
+
+    videos_tag = []
+    for v in videos:
+        seg_len = rng.integers(max_frame_num // 2, max_frame_num + 1, max_segment_num)
+        n_shots = int(seg_len.sum())
+        tags_bin = (rng.uniform(0, 1, (n_shots, len(concepts))) > 0.6).astype(int)
+        tags_bin[tags_bin.sum(1) == 0, 0] = 1
+        videos_tag.append(tags_bin)
+
+        features = np.zeros((max_segment_num, max_frame_num, v_dim), np.float32)
+        shot = 0
+        for j, n in enumerate(seg_len):
+            for k in range(int(n)):
+                x = 0.3 * rng.standard_normal(v_dim).astype(np.float32)
+                for ci, c in enumerate(concepts):
+                    if tags_bin[shot, ci]:
+                        x[:q_dim] += emb[c].mean(0)
+                features[j, k] = x
+                shot += 1
+        with h5py.File(
+            os.path.join(root, "processed", f"P0{v}_{vid_feature}.h5"), "w"
+        ) as f:
+            f.create_dataset("features", data=features)
+            f.create_dataset("seg_len", data=seg_len.astype(np.int64))
+
+        tag_dir = os.path.join(
+            root, "metadata/origin_data/Dense_per_shot_tags", f"P0{v}"
+        )
+        os.makedirs(tag_dir, exist_ok=True)
+        with open(os.path.join(tag_dir, f"P0{v}.txt"), "w") as f:
+            for s in range(n_shots):
+                f.write(",".join(c for ci, c in enumerate(concepts) if tags_bin[s, ci]) + "\n")
+
+        odir = os.path.join(
+            root, "metadata/origin_data/Query-Focused_Summaries/Oracle_Summaries", f"P0{v}"
+        )
+        os.makedirs(odir, exist_ok=True)
+        for c1, c2 in itertools.combinations(concepts[:3], 2):
+            ci1, ci2 = concepts.index(c1), concepts.index(c2)
+            hits = np.flatnonzero(tags_bin[:, ci1] | tags_bin[:, ci2])
+            pick = hits[: max(2, len(hits) // 4)]
+            with open(os.path.join(odir, f"{c1}_{c2}_oracle.txt"), "w") as f:
+                f.write("\n".join(str(int(s) + 1) for s in pick))
+    return {"root": root, "videos_tag": videos_tag, "concepts": concepts}

@@ -159,6 +159,54 @@ def loss_saliency_cls(outputs, targets, gates=None):
     return {k: v * has_signal for k, v in out.items()}
 
 
+def qfvs_losses(outputs, gt_grid, mask_flat):
+    """QFVS criterion over the segment-flattened grid.
+
+    Reference: model/univtg_qfvs.py:215-261, 358-377 -- the torch version
+    masked_selects valid frames into a compact vector; here GT is scattered
+    to grid positions host-side and everything stays static-shape.
+
+    Args:
+      outputs: model outputs with (S, F, 1) pred_logits / (S, F) saliency.
+      gt_grid: (S*F,) binary concept/oracle labels at grid positions.
+      mask_flat: (S*F,) validity of grid positions.
+    Returns:
+      {'loss_f', 'loss_s_intra', 'loss_s_inter'}.
+    """
+    probs = outputs["pred_logits"].reshape(-1)  # (S*F,)
+    sal = outputs["saliency_scores"].reshape(-1)
+    gt = gt_grid.astype(probs.dtype)
+    mask = mask_flat.astype(probs.dtype)
+    n_pos = gt.sum()
+
+    # foreground BCE normalized by the positive count (univtg_qfvs.py:226-227)
+    logp = jnp.clip(jnp.log(jnp.maximum(probs, 0.0)), -100.0, None)
+    log1mp = jnp.clip(jnp.log(jnp.maximum(1.0 - probs, 0.0)), -100.0, None)
+    ce = -(gt * logp + (1.0 - gt) * log1mp) * mask
+    loss_f = jnp.where(n_pos > 0, ce.sum() / jnp.maximum(n_pos, 1.0), 0.0)
+
+    # MIL-NCE: softmax over all valid frames, positives in the numerator
+    # (univtg_qfvs.py:246-261)
+    logits = sal / TEMPERATURE + mask_log(mask)
+    logsm = jax.nn.log_softmax(logits, axis=0)
+    intra = -jnp.where(n_pos > 0, (logsm * gt).sum() / jnp.maximum(n_pos, 1.0), 0.0)
+
+    return {"loss_f": loss_f, "loss_s_intra": intra, "loss_s_inter": jnp.zeros(())}
+
+
+def compact_to_grid(vec_compact, seg_len, max_segments: int, max_frames: int):
+    """Scatter a compact per-shot vector (shot i = i-th valid frame) onto the
+    padded (S*F,) grid layout used by the flattened model inputs."""
+    import numpy as np
+
+    grid = np.zeros(max_segments * max_frames, np.float32)
+    pos = 0
+    for j, n in enumerate(np.asarray(seg_len, int)):
+        grid[j * max_frames : j * max_frames + n] = vec_compact[pos : pos + n]
+        pos += n
+    return grid
+
+
 def _cosine_rows(a, b, eps=1e-8):
     an = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
     bn = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
