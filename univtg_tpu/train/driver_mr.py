@@ -79,6 +79,9 @@ class TrainConfig:
     tp: int = 1
     num_io_threads: int = 8
     log_every: int = 50
+    use_gates: bool = False  # per-sample loss gating (VLP multi-corpus)
+    shard_index: int = 0  # per-host data shard (multi-process pretraining)
+    num_shards: int = 1
 
 
 def _strip_meta(batch):
@@ -96,23 +99,30 @@ def build_everything(cfg: TrainConfig, steps_per_epoch: int):
     return model, optimizer, state
 
 
-def train_mr(cfg: TrainConfig, resume: Optional[str] = None) -> Tuple[dict, str]:
-    """Returns (best_metrics, best_ckpt_path)."""
+def train_mr(
+    cfg: TrainConfig, resume: Optional[str] = None, train_dataset=None
+) -> Tuple[dict, str]:
+    """Returns (best_metrics, best_ckpt_path). `train_dataset` overrides the
+    MRDataset built from cfg.train_data (used by the VLP driver)."""
     os.makedirs(cfg.results_dir, exist_ok=True)
-    train_ds = MRDataset(cfg.train_data)
+    train_ds = train_dataset if train_dataset is not None else MRDataset(cfg.train_data)
     eval_ds = MRDataset(cfg.eval_data) if cfg.eval_data else None
 
     mesh = make_mesh(cfg.dp, cfg.tp)
 
+    train_max_q = cfg.train_data.max_q_l if cfg.train_data else cfg.model.max_q_l
+    train_max_v = cfg.train_data.max_v_l if cfg.train_data else cfg.model.max_v_l
     train_loader = Loader(
         train_ds,
         cfg.bsz,
         lambda items, pad_batch_to: collate_mr(
-            items, cfg.train_data.max_q_l, cfg.train_data.max_v_l, pad_batch_to
+            items, train_max_q, train_max_v, pad_batch_to
         ),
         shuffle=True,
         seed=cfg.seed,
         num_threads=cfg.num_io_threads,
+        shard_index=cfg.shard_index,
+        num_shards=cfg.num_shards,
     )
     steps_per_epoch = len(train_loader)
     model, optimizer, state = build_everything(cfg, steps_per_epoch)
@@ -121,7 +131,7 @@ def train_mr(cfg: TrainConfig, resume: Optional[str] = None) -> Tuple[dict, str]
     state = state.replace(params=replicate_params(mesh, state.params))
 
     train_step = make_train_step(
-        model, optimizer, cfg.weights, tuple(cfg.losses)
+        model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
     )
     eval_step = make_eval_step(model, cfg.eval_mode)
     rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -166,13 +176,14 @@ def train_mr(cfg: TrainConfig, resume: Optional[str] = None) -> Tuple[dict, str]
             train_log.flush()
             logger.info(f"epoch {epoch}: {line}")
 
-        if eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0:
+        is_main = cfg.shard_index == 0  # rank-0-only eval/ckpt (SURVEY.md 3.3)
+        if is_main and eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0:
             metrics = _eval_once(cfg, model, state, eval_ds, eval_step, epoch)
             eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
             eval_log.flush()
-            score = metrics["brief"].get(f"{cfg.main_metric}-key") or metrics[
-                "brief"
-            ].get(cfg.main_metric)
+            score = metrics["brief"].get(f"{cfg.main_metric}-key")
+            if score is None:
+                score = metrics["brief"].get(cfg.main_metric)
             ckpt.save_checkpoint(latest_path, state, epoch, cfg_json)
             if score is not None and score > best_score:
                 best_score, best_metrics, es_cnt = score, metrics, 0
