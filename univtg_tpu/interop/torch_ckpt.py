@@ -94,6 +94,62 @@ def params_from_torch_state_dict(state_dict, cfg):
     return {"params": params}
 
 
+def _mha(sd, prefix):
+    return {
+        "in_proj_kernel": _np(sd[f"{prefix}.in_proj_weight"]).T,
+        "in_proj_bias": _np(sd[f"{prefix}.in_proj_bias"]),
+        "out_kernel": _np(sd[f"{prefix}.out_proj.weight"]).T,
+        "out_bias": _np(sd[f"{prefix}.out_proj.bias"]),
+    }
+
+
+def md_params_from_torch_state_dict(state_dict, cfg):
+    """Moment-DETR param mapping (model/moment_detr.py + model/transformer.py
+    layouts -> univtg_tpu.models.moment_detr.MomentDETR)."""
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    params = {
+        "input_vid_proj": _input_proj(sd, "input_vid_proj", cfg.n_input_proj),
+        "input_txt_proj": _input_proj(sd, "input_txt_proj", cfg.n_input_proj),
+        "query_embed": _np(sd["query_embed.weight"]),
+        "class_embed": _dense(sd, "class_embed"),
+        "span_embed": {},
+        "saliency_proj": _dense(sd, "saliency_proj"),
+        "decoder_norm": _norm(sd, "transformer.decoder.norm"),
+    }
+    for i in range(3):
+        params["span_embed"][f"dense_{i}"] = _dense(sd, f"span_embed.layers.{i}")
+    for i in range(cfg.num_layers):
+        p = f"transformer.encoder.layers.{i}"
+        params[f"encoder_layers_{i}"] = {
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "linear1": _dense(sd, f"{p}.linear1"),
+            "linear2": _dense(sd, f"{p}.linear2"),
+            "norm1": _norm(sd, f"{p}.norm1"),
+            "norm2": _norm(sd, f"{p}.norm2"),
+        }
+    for i in range(cfg.num_decoder_layers):
+        p = f"transformer.decoder.layers.{i}"
+        params[f"decoder_layers_{i}"] = {
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "cross_attn": _mha(sd, f"{p}.multihead_attn"),
+            "linear1": _dense(sd, f"{p}.linear1"),
+            "linear2": _dense(sd, f"{p}.linear2"),
+            "norm1": _norm(sd, f"{p}.norm1"),
+            "norm2": _norm(sd, f"{p}.norm2"),
+            "norm3": _norm(sd, f"{p}.norm3"),
+        }
+    if cfg.use_txt_pos:
+        params["txt_pos"] = {
+            "embedding": _np(sd["txt_position_embed.position_embeddings.weight"]),
+            "norm": _norm(sd, "txt_position_embed.LayerNorm"),
+        }
+    if cfg.contrastive_align:
+        params["ca_query"] = _dense(sd, "contrastive_align_projection_query")
+        params["ca_txt"] = _dense(sd, "contrastive_align_projection_txt")
+        params["ca_vid"] = _dense(sd, "contrastive_align_projection_vid")
+    return {"params": params}
+
+
 def load_torch_checkpoint(path, cfg):
     """Load a released UniVTG .ckpt file ({'model': state_dict, 'opt': ...})."""
     import torch
