@@ -92,26 +92,56 @@ def models(batch):
 
 
 def test_forward_parity(models, batch):
+    """Per-sample exact-length reference forward vs our batched padded
+    forward: valid positions must agree within 1e-4. (The reference's
+    *batched* conv heads leak padded-token embeddings into boundary scores;
+    this framework masks them, so the exact-length run is the contract.)"""
     ref, model, params = models
     vid, vid_mask, txt, txt_mask = batch
-    with torch.no_grad():
-        ref_out = ref(
-            src_txt=torch.from_numpy(txt),
-            src_txt_mask=torch.from_numpy(txt_mask),
-            src_vid=torch.from_numpy(vid),
-            src_vid_mask=torch.from_numpy(vid_mask),
-        )
     out = model.apply(params, txt, txt_mask, vid, vid_mask, train=False)
 
-    for key in ("pred_logits", "pred_spans", "saliency_scores", "vid_mem_proj", "txt_mem_proj"):
-        got = np.asarray(out[key])
-        want = ref_out[key].numpy()
-        # padded saliency positions carry the -103 log-mask; compare valid region
-        if key == "saliency_scores":
-            got = got * vid_mask
-            want = want * vid_mask
-        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4, err_msg=key)
-        assert np.max(np.abs(got - want)) < 1e-4, key
+    for i in range(vid.shape[0]):
+        lv = int(vid_mask[i].sum())
+        lt = int(txt_mask[i].sum())
+        with torch.no_grad():
+            ref_out = ref(
+                src_txt=torch.from_numpy(txt[i : i + 1, :lt]),
+                src_txt_mask=torch.from_numpy(txt_mask[i : i + 1, :lt]),
+                src_vid=torch.from_numpy(vid[i : i + 1, :lv]),
+                src_vid_mask=torch.from_numpy(vid_mask[i : i + 1, :lv]),
+            )
+        for key in ("pred_logits", "pred_spans", "saliency_scores", "vid_mem_proj", "txt_mem_proj"):
+            want = ref_out[key][0].numpy()
+            if key == "txt_mem_proj":
+                got = np.asarray(out[key][i])
+            elif key in ("pred_logits", "pred_spans", "saliency_scores", "vid_mem_proj"):
+                got = np.asarray(out[key][i, :lv])
+            np.testing.assert_allclose(
+                got, want, atol=1e-4, rtol=1e-4, err_msg=f"{key}[{i}]"
+            )
+            assert np.max(np.abs(got - want)) < 1e-4, key
+
+
+def test_padding_invariance(models, batch):
+    """Batched padded decode must equal exact-length decode (the property
+    the reference's batched path lacks)."""
+    _, model, params = models
+    vid, vid_mask, txt, txt_mask = batch
+    out_pad = model.apply(params, txt, txt_mask, vid, vid_mask, train=False)
+    i, lv, lt = 1, 17, 6
+    out_exact = model.apply(
+        params,
+        txt[i : i + 1, :lt],
+        txt_mask[i : i + 1, :lt],
+        vid[i : i + 1, :lv],
+        vid_mask[i : i + 1, :lv],
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pad["pred_logits"][i, :lv]),
+        np.asarray(out_exact["pred_logits"][0]),
+        atol=1e-5,
+    )
 
 
 def test_cls_branch_parity(models, batch):

@@ -1,0 +1,169 @@
+"""Serving path: grounding decode parity vs the reference gradio math on the
+bundled tmp/ feature fixtures, plus end-to-end video+query grounding through
+the cv2 decode + tiny CLIP towers."""
+import os
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+from model.univtg import Model as RefModel  # noqa: E402
+from model.transformer_encoder_droppath import build_transformer  # noqa: E402
+from model.position_encoding import build_position_encoding  # noqa: E402
+
+from univtg_tpu.data.features import l2_normalize  # noqa: E402
+from univtg_tpu.data.mr import tef_features, timestamp_grid  # noqa: E402
+from univtg_tpu.interop import params_from_torch_state_dict  # noqa: E402
+from univtg_tpu.models import ModelConfig  # noqa: E402
+from univtg_tpu.serve import GroundingPipeline  # noqa: E402
+
+CFG = ModelConfig(
+    vid_dim=514,  # 512 clip features + 2 TEF
+    txt_dim=512,
+    hidden_dim=64,
+    num_layers=2,
+    num_heads=4,
+    ffn_dim=96,
+    max_v_l=75,
+    max_q_l=32,
+)
+
+
+def build_ref():
+    args = SimpleNamespace(
+        hidden_dim=CFG.hidden_dim, dropout=0.1, droppath=0.1, nheads=CFG.num_heads,
+        dim_feedforward=CFG.ffn_dim, enc_layers=CFG.num_layers, dec_layers=2,
+        pre_norm=False, position_embedding="sine", max_q_l=CFG.max_q_l,
+        input_dropout=0.5, t_feat_dim=CFG.txt_dim, v_feat_dim=CFG.vid_dim,
+        span_loss_type="l1", use_txt_pos=False, n_input_proj=2,
+    )
+    torch.manual_seed(3)
+    model = RefModel(
+        build_transformer(args), *build_position_encoding(args),
+        txt_dim=args.t_feat_dim, vid_dim=args.v_feat_dim, input_dropout=0.5,
+        span_loss_type="l1", n_input_proj=2,
+    )
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def fixture_feats():
+    vid = np.load("/root/reference/tmp/vid.npz")["features"].astype(np.float32)
+    txt = np.load("/root/reference/tmp/txt.npz")["features"].astype(np.float32)
+    return vid, txt
+
+
+def ref_gradio_forward(ref, vid_raw, txt_raw, clip_len=2.0):
+    """The reference demo decode (main_gradio.py:58-103) in numpy/torch."""
+    vid = torch.from_numpy(l2_normalize(vid_raw))
+    txt = torch.from_numpy(l2_normalize(txt_raw))
+    ctx_l = vid.shape[0]
+    ts = torch.from_numpy(timestamp_grid(ctx_l, clip_len))
+    vid = torch.cat([vid, torch.from_numpy(tef_features(ctx_l))], dim=1)
+    with torch.no_grad():
+        out = ref(
+            src_vid=vid[None],
+            src_txt=txt[None],
+            src_vid_mask=torch.ones(1, ctx_l),
+            src_txt_mask=torch.ones(1, txt.shape[0]),
+        )
+    pred_logits = out["pred_logits"][0, :, 0]
+    pred_windows = (out["pred_spans"][0] + ts) * ctx_l * clip_len
+    top1 = pred_windows[torch.argmax(pred_logits)].tolist()
+    top5_scores = torch.topk(pred_logits, k=5).values.tolist()
+    highlight = float(torch.argmax(out["saliency_scores"][0]) * clip_len)
+    return top1, top5_scores, highlight
+
+
+def test_pipeline_matches_gradio_decode(fixture_feats):
+    vid, txt = fixture_feats
+    ref = build_ref()
+    params = params_from_torch_state_dict(ref.state_dict(), CFG)
+    pipe = GroundingPipeline(CFG, params["params"], clip_len=2.0, buckets=[16, 32])
+
+    want_top1, want_top5_scores, want_hl = ref_gradio_forward(ref, vid, txt)
+    got = pipe.ground_features(vid, txt)
+    # the serve path clamps windows to [0, duration] (inference_mr.py:153)
+    want_top1 = np.clip(want_top1, 0, got["duration"])
+    np.testing.assert_allclose(got["top1_window"], want_top1, atol=1e-3)
+    # near-tied confidences make the top-5 *order* platform-dependent;
+    # the score multiset must match
+    np.testing.assert_allclose(
+        [w[2] for w in got["topk_windows"]], want_top5_scores, atol=1e-5
+    )
+    assert got["top1_highlight"] == want_hl
+    assert got["duration"] == vid.shape[0] * 2.0
+    text = pipe.describe(got, "test query")
+    assert "Top-1 interval" in text
+
+
+def test_video_decode_cv2():
+    from univtg_tpu.extract.video import decode_frames
+
+    path = "/root/reference/examples/charades.mp4"
+    if not os.path.exists(path):
+        pytest.skip("no example video")
+    frames, meta = decode_frames(path, clip_len=2.0, backend="cv2")
+    assert frames.shape[1:] == (224, 224, 3)
+    # ~31s video at 2s clips
+    assert 13 <= len(frames) <= 17
+    assert meta["fps"] > 0
+
+
+def test_end_to_end_video_grounding():
+    from univtg_tpu.extract.clip.model import CLIP, CLIPConfig
+    from univtg_tpu.extract.pipeline import ClipEncoder
+
+    path = "/root/reference/examples/charades.mp4"
+    if not os.path.exists(path):
+        pytest.skip("no example video")
+    import jax
+
+    clip_cfg = CLIPConfig(
+        embed_dim=512,
+        image_resolution=224,
+        vision_layers=2,
+        vision_width=64,
+        vision_patch_size=32,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=64,
+        transformer_heads=4,
+        transformer_layers=2,
+    )
+    model = CLIP(clip_cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 224, 224, 3), np.float32),
+        np.zeros((1, 77), np.int32),
+    )
+    enc = ClipEncoder(params, clip_cfg, image_batch=8, text_batch=2)
+
+    # grounding model consumes CLIP's last_hidden_state (width = 64 here)
+    g_cfg = ModelConfig(
+        vid_dim=514, txt_dim=64, hidden_dim=64, num_layers=1, num_heads=4,
+        ffn_dim=64, max_v_l=75, max_q_l=32,
+    )
+    from univtg_tpu.models import UniVTG
+
+    g_model = UniVTG(g_cfg)
+    g_params = g_model.init(
+        jax.random.PRNGKey(1),
+        np.zeros((1, 8, 64), np.float32),
+        np.ones((1, 8), np.float32),
+        np.zeros((1, 16, 514), np.float32),
+        np.ones((1, 16), np.float32),
+        train=False,
+    )["params"]
+    pipe = GroundingPipeline(
+        g_cfg, g_params, clip_len=2.0, buckets=[16, 32], clip_encoder=enc
+    )
+    out = pipe.ground_video(path, "person opens a door")
+    assert 0 <= out["top1_window"][0] <= out["duration"]
+    assert len(out["topk_windows"]) == 5
+    assert 0 <= out["top1_highlight"] <= out["duration"]

@@ -73,7 +73,13 @@ class InputProj(nn.Module):
 
 class ConvHead(nn.Module):
     """Stack of 1-D convs (k=3, SAME) with relu between, linear last
-    (model/univtg.py:367-382). Input/output are (B, L, C)."""
+    (model/univtg.py:367-382). Input/output are (B, L, C).
+
+    When `mask` is given, activations at padded positions are zeroed after
+    every conv so each layer sees exact-length zero-padding semantics
+    regardless of the static pad length (conv biases would otherwise turn
+    padded positions nonzero and leak through the stacked receptive field).
+    """
 
     hidden_dim: int
     out_dim: int
@@ -82,7 +88,10 @@ class ConvHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        m = None if mask is None else mask[..., None].astype(x.dtype)
+        if m is not None:
+            x = x * m
         for i in range(self.num_layers):
             out = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
             x = nn.Conv(
@@ -94,6 +103,8 @@ class ConvHead(nn.Module):
             )(x)
             if i != self.num_layers - 1:
                 x = nn.relu(x)
+            if m is not None:
+                x = x * m
         return x
 
 

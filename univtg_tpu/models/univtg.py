@@ -89,13 +89,22 @@ class UniVTG(nn.Module):
             dtype,
             name="encoder",
         )(src, mask, pos, train=train)
+        # Mask the conv heads at every layer: stacked k=3 convs have a +-3
+        # receptive field, so boundary clips would otherwise read padded
+        # tokens' embeddings. With exact-length inputs the reference sees
+        # conv zero-padding; per-layer masking reproduces that contract for
+        # any static pad length (the reference's *batched* eval leaks batch
+        # composition into boundary scores -- a bug not carried over).
         vid_mem = memory[:, : vid.shape[1], :]
+        vmask = src_vid_mask.astype(dtype)
 
         span_pred_dim = 2 if cfg.span_loss_type == "l1" else cfg.max_v_l * 2
-        fg_logits = ConvHead(cfg.hidden_dim, 1, 3, dtype=dtype, name="class_head")(vid_mem)
+        fg_logits = ConvHead(cfg.hidden_dim, 1, 3, dtype=dtype, name="class_head")(
+            vid_mem, vmask
+        )
         pred_logits = nn.sigmoid(fg_logits)
         raw_spans = ConvHead(cfg.hidden_dim, span_pred_dim, 3, dtype=dtype, name="span_head")(
-            vid_mem
+            vid_mem, vmask
         )
         if cfg.span_loss_type == "l1":
             # (-sigmoid, +sigmoid): left offsets negative, right positive

@@ -1,0 +1,119 @@
+"""Serving: single jitted grounding core shared by the CLI demo, batch
+evaluation, and end-to-end video+query grounding.
+
+Mirrors the reference's gradio path (main_gradio.py:58-115): L2-normalized
+features + TEF + timestamp grid -> model forward -> top-1/top-5 windows
+ranked by foreground confidence + argmax highlight. Feature lengths are
+padded to a static bucket ladder so any video length reuses one of a few
+compiled programs.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univtg_tpu.core.padding import bucket_length, default_buckets
+from univtg_tpu.data.features import l2_normalize
+from univtg_tpu.data.mr import tef_features, timestamp_grid
+from univtg_tpu.models import ModelConfig, UniVTG
+
+
+def hms(seconds: float) -> str:
+    return time.strftime("%H:%M:%S", time.gmtime(seconds))
+
+
+class GroundingPipeline:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        clip_len: float = 2.0,
+        buckets: Optional[Sequence[int]] = None,
+        clip_encoder=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.clip_len = clip_len
+        self.buckets = list(buckets or default_buckets(2048, base=128))
+        self.clip_encoder = clip_encoder  # optional ClipEncoder for raw video
+        model = UniVTG(cfg)
+
+        def fwd(params, txt, txt_mask, vid, vid_mask, timestamp):
+            out = model.apply({"params": params}, txt, txt_mask, vid, vid_mask, train=False)
+            scores = out["pred_logits"][..., 0] * vid_mask
+            spans = timestamp + out["pred_spans"]
+            saliency = out["saliency_scores"] + (1.0 - vid_mask) * -1e30
+            return {"scores": scores, "spans": spans, "saliency": saliency}
+
+        self._fwd = jax.jit(fwd)
+
+    def _prepare(self, vid_feats: np.ndarray, txt_feats: np.ndarray):
+        vid = l2_normalize(vid_feats.astype(np.float32))
+        txt = l2_normalize(txt_feats.astype(np.float32))
+        ctx_l = len(vid)
+        ts = timestamp_grid(ctx_l, self.clip_len)
+        vid = np.concatenate([vid, tef_features(ctx_l)], axis=1)
+
+        Lb = bucket_length(ctx_l, self.buckets)
+        pad = Lb - ctx_l
+        vid = np.pad(vid, ((0, pad), (0, 0)))
+        ts = np.pad(ts, ((0, pad), (0, 0)))
+        vid_mask = np.zeros(Lb, np.float32)
+        vid_mask[:ctx_l] = 1
+        Lt = bucket_length(len(txt), [32, 77])
+        txt = np.pad(txt, ((0, Lt - len(txt)), (0, 0)))
+        txt_mask = np.zeros(Lt, np.float32)
+        txt_mask[: len(txt_feats)] = 1
+        return vid, vid_mask, txt, txt_mask, ts, ctx_l
+
+    def ground_features(self, vid_feats: np.ndarray, txt_feats: np.ndarray, top_k: int = 5):
+        """(T, Dv) clip features + (L, Dt) token features -> grounding dict."""
+        vid, vid_mask, txt, txt_mask, ts, ctx_l = self._prepare(vid_feats, txt_feats)
+        out = self._fwd(
+            self.params,
+            jnp.asarray(txt[None]),
+            jnp.asarray(txt_mask[None]),
+            jnp.asarray(vid[None]),
+            jnp.asarray(vid_mask[None]),
+            jnp.asarray(ts[None]),
+        )
+        scores = np.asarray(out["scores"])[0, :ctx_l]
+        duration = ctx_l * self.clip_len
+        # clamp like the batch-eval path (main/inference_mr.py:153); the
+        # reference demo skips this and can emit negative timestamps
+        spans = np.clip(np.asarray(out["spans"])[0, :ctx_l] * duration, 0, duration)
+        saliency = np.asarray(out["saliency"])[0, :ctx_l]
+
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        windows = [[float(spans[i, 0]), float(spans[i, 1]), float(scores[i])] for i in order]
+        return {
+            "top1_window": windows[0][:2],
+            "topk_windows": windows,
+            "saliency": saliency,
+            "top1_highlight": float(np.argmax(saliency) * self.clip_len),
+            "duration": ctx_l * self.clip_len,
+        }
+
+    def ground_video(self, video_path: str, query: str, top_k: int = 5):
+        """Raw video + text query -> grounding (requires a clip_encoder)."""
+        assert self.clip_encoder is not None, "construct with clip_encoder"
+        from univtg_tpu.extract.pipeline import txt2clip, vid2clip
+
+        vid_feats = vid2clip(self.clip_encoder, video_path, clip_len=self.clip_len)
+        txt_feats = txt2clip(self.clip_encoder, query)
+        return self.ground_features(vid_feats, txt_feats, top_k)
+
+    def describe(self, result: dict, query: str) -> str:
+        """Human-readable response (main_gradio.py:103-115)."""
+        mr = " - ".join(hms(int(t)) for t in result["top1_window"])
+        return "\n".join(
+            [
+                f"For query: {query}",
+                f"The Top-1 interval is: {mr}",
+                f"The Top-1 highlight is: {hms(result['top1_highlight'])}",
+            ]
+        )
