@@ -5,8 +5,6 @@ hard-coded for QVHighlights GT expansion).
 """
 from __future__ import annotations
 
-from concurrent.futures import ProcessPoolExecutor
-
 import numpy as np
 
 from univtg_tpu.evals.ap import average_precision
@@ -49,8 +47,12 @@ def _ap_one(args):
     return idx, w_idx, average_precision(y_true, y_pred)
 
 
-def compute_hl_ap(qid2preds, qid2gt_binary, num_workers=8, chunksize=50):
-    """Per-annotator AP of the saliency ranking, averaged (eval/eval.py:213-237)."""
+def compute_hl_ap(qid2preds, qid2gt_binary, num_workers=1, chunksize=50):
+    """Per-annotator AP of the saliency ranking, averaged (eval/eval.py:213-237).
+
+    Single-process: the numpy AP kernel makes the reference's Pool(8)
+    (eval/eval.py:224-228) pure overhead at this scale.
+    """
     qids = list(qid2preds.keys())
     tasks = []
     for idx, qid in enumerate(qids):
@@ -58,14 +60,9 @@ def compute_hl_ap(qid2preds, qid2gt_binary, num_workers=8, chunksize=50):
         for w_idx in range(3):
             tasks.append((idx, w_idx, qid2gt_binary[qid][:, w_idx], y_pred))
     ap = np.zeros((len(qids), 3))
-    if num_workers > 1 and len(tasks) > 2 * chunksize:
-        with ProcessPoolExecutor(max_workers=num_workers) as ex:
-            for idx, w_idx, score in ex.map(_ap_one, tasks, chunksize=chunksize):
-                ap[idx, w_idx] = score
-    else:
-        for t in tasks:
-            idx, w_idx, score = _ap_one(t)
-            ap[idx, w_idx] = score
+    for t in tasks:
+        idx, w_idx, score = _ap_one(t)
+        ap[idx, w_idx] = score
     return _r2(100 * np.mean(ap))
 
 

@@ -13,12 +13,10 @@ from __future__ import annotations
 
 import copy
 from collections import defaultdict
-from concurrent.futures import ProcessPoolExecutor
-from functools import partial
 
 import numpy as np
 
-from univtg_tpu.evals.ap import detection_ap, _hull_free_iou_cross
+from univtg_tpu.evals.ap import detection_ap, detection_ap_batch, _hull_free_iou_cross
 
 
 def _r2(v) -> float:
@@ -34,15 +32,6 @@ def _paired_hull_iou(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.divide(inter, union, out=np.zeros_like(inter), where=union != 0)
 
 
-def _ap_for_query(args, tiou_thresholds):
-    qid, gt_windows, pred = args
-    if len(pred) == 0:
-        return qid, np.zeros(len(tiou_thresholds))
-    pred = np.asarray(pred, dtype=np.float64)
-    gt = np.asarray(gt_windows, dtype=np.float64).reshape(-1, 2)
-    return qid, detection_ap(gt, pred[:, :2], pred[:, 2], tiou_thresholds)
-
-
 def compute_mr_ap(
     submission,
     ground_truth,
@@ -52,7 +41,12 @@ def compute_mr_ap(
     num_workers=8,
     chunksize=50,
 ):
-    """mAP over IoU thresholds, averaged over queries (eval/eval.py:20-70)."""
+    """mAP over IoU thresholds, averaged over queries (eval/eval.py:20-70).
+
+    Runs through the batched AP kernel (native C++ threads when available,
+    numpy otherwise); `num_workers` sets the native thread count -- the
+    reference's process pool (eval/eval.py:54-57) is unnecessary here.
+    """
     iou_thds = [float(f"{e:.2f}") for e in iou_thds]
     pred_by_qid = defaultdict(list)
     for d in submission:
@@ -68,19 +62,18 @@ def compute_mr_ap(
             windows = windows[:max_gt_windows]
         gt_by_qid[d["qid"]].extend(windows)
 
-    triples = [(qid, gt_by_qid[qid], pred_by_qid[qid]) for qid in pred_by_qid]
-    fn = partial(_ap_for_query, tiou_thresholds=iou_thds)
-    qid2ap = {}
-    if num_workers > 1 and len(triples) > 2 * chunksize:
-        with ProcessPoolExecutor(max_workers=num_workers) as ex:
-            for qid, scores in ex.map(fn, triples, chunksize=chunksize):
-                qid2ap[qid] = scores
-    else:
-        for t in triples:
-            qid, scores = fn(t)
-            qid2ap[qid] = scores
+    qids = list(pred_by_qid)
+    gt_list, pred_list, score_list = [], [], []
+    for qid in qids:
+        preds = np.asarray(pred_by_qid[qid], np.float64).reshape(-1, 3)
+        gt_list.append(np.asarray(gt_by_qid[qid], np.float64).reshape(-1, 2))
+        pred_list.append(preds[:, :2])
+        score_list.append(preds[:, 2])
+    ap = detection_ap_batch(
+        gt_list, pred_list, score_list, iou_thds, n_threads=max(num_workers, 1)
+    )
 
-    ap_thds = np.array(list(qid2ap.values())).mean(0)
+    ap_thds = ap.mean(0)
     out = dict(zip([str(e) for e in iou_thds], ap_thds))
     out["average"] = np.mean(ap_thds)
     return {k: _r2(100 * v) for k, v in out.items()}
