@@ -1,0 +1,220 @@
+"""Command-line entry points.
+
+Replaces the reference's per-task main/ scripts + SLURM launchers with one
+CLI over typed preset configs:
+
+  python -m univtg_tpu.cli train-mr --preset qvhighlights_mr [key=value ...]
+  python -m univtg_tpu.cli train-hl --preset tvsum_hl
+  python -m univtg_tpu.cli train-qfvs --preset qfvs
+  python -m univtg_tpu.cli infer-mr --preset qvhighlights_mr --resume ckpt
+  python -m univtg_tpu.cli eval --submission preds.jsonl --gt gt.jsonl
+  python -m univtg_tpu.cli ground --video v.mp4 --query "..." --resume ckpt
+  python -m univtg_tpu.cli pack-h5 --metadata m.jsonl --out-dir data/x/h5py ...
+
+Overrides use dotted dataclass paths, e.g. bsz=16 model.hidden_dim=512.
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+
+
+def _apply_overrides(cfg, pairs):
+    from univtg_tpu.presets import _replace
+
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        cfg = _replace(cfg, key, value)
+    return cfg
+
+
+def _preset_cfg(args):
+    from univtg_tpu.presets import PRESETS
+
+    builder = PRESETS[args.preset]
+    cfg = builder()
+    return _apply_overrides(cfg, args.overrides)
+
+
+def cmd_train_mr(args):
+    from univtg_tpu.train.driver_mr import train_mr
+
+    metrics, best = train_mr(_preset_cfg(args), resume=args.resume)
+    print(json.dumps(metrics.get("brief", {}), indent=1))
+    print(f"best checkpoint: {best}")
+
+
+def cmd_train_hl(args):
+    from univtg_tpu.train.driver_hl import train_hl
+
+    print(json.dumps(train_hl(_preset_cfg(args)), indent=1))
+
+
+def cmd_train_qfvs(args):
+    from univtg_tpu.train.driver_qfvs import train_qfvs
+
+    print(json.dumps(train_qfvs(_preset_cfg(args)), indent=1))
+
+
+def cmd_infer_mr(args):
+    """Eval-only run on the preset's eval split (the reference's
+    start_inference, main/inference_mr.py:224-269)."""
+    import jax
+
+    from univtg_tpu.data.collate import collate_mr
+    from univtg_tpu.data.loader import Loader
+    from univtg_tpu.data.mr import MRDataset
+    from univtg_tpu.data.features import save_jsonl
+    from univtg_tpu.models import UniVTG
+    from univtg_tpu.train import checkpoint as ckpt
+    from univtg_tpu.train.infer_mr import evaluate_submission, run_inference
+    from univtg_tpu.train.steps import init_state, make_optimizer
+
+    cfg = _preset_cfg(args)
+    model = UniVTG(cfg.model)
+    state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
+    params = ckpt.restore_params(args.resume, state.params)
+    eval_ds = MRDataset(cfg.eval_data)
+    loader = Loader(
+        eval_ds,
+        cfg.eval_bsz,
+        lambda items, pad_batch_to: collate_mr(
+            items, cfg.eval_data.max_q_l, cfg.eval_data.max_v_l, pad_batch_to
+        ),
+    )
+    submission = run_inference(
+        model,
+        params,
+        loader,
+        eval_mode=cfg.eval_mode,
+        clip_length=cfg.eval_data.clip_len,
+        round_multiple=cfg.round_multiple,
+    )
+    out = args.out or "inference_preds.jsonl"
+    save_jsonl(submission, out)
+    metrics = evaluate_submission(submission, eval_ds.data)
+    print(json.dumps(metrics["brief"], indent=1))
+
+
+def cmd_eval(args):
+    """Offline submission scorer (eval/eval.py:377-394 eval_main)."""
+    from univtg_tpu.data.features import load_jsonl
+    from univtg_tpu.evals import eval_submission
+
+    metrics = eval_submission(load_jsonl(args.submission), load_jsonl(args.gt))
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+def cmd_ground(args):
+    """Single video+query grounding (the reference's gradio demo path)."""
+    import jax
+
+    from univtg_tpu.extract.pipeline import ClipEncoder
+    from univtg_tpu.interop.clip_ckpt import load_clip_checkpoint
+    from univtg_tpu.models import UniVTG
+    from univtg_tpu.serve import GroundingPipeline
+    from univtg_tpu.train import checkpoint as ckpt
+    from univtg_tpu.train.steps import init_state, make_optimizer
+
+    cfg = _preset_cfg(args)
+    model = UniVTG(cfg.model)
+    state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
+    params = ckpt.restore_params(args.resume, state.params)
+    clip_params, clip_cfg = load_clip_checkpoint(args.clip_ckpt)
+    pipe = GroundingPipeline(
+        cfg.model,
+        params,
+        clip_encoder=ClipEncoder(clip_params, clip_cfg),
+    )
+    result = pipe.ground_video(args.video, args.query)
+    print(pipe.describe(result, args.query))
+    print(json.dumps({k: v for k, v in result.items() if k != "saliency"}, indent=1))
+
+
+def cmd_pack_h5(args):
+    from univtg_tpu.tools.pack_h5 import pack_dataset
+
+    out = pack_dataset(args.metadata, args.v_feat_dirs, args.q_feat_dir, args.out_dir)
+    print(json.dumps(out, indent=1))
+
+
+def cmd_extract_text(args):
+    """Offline query-feature dump (run_on_video/text_extractor.py)."""
+    from univtg_tpu.data.features import load_jsonl
+    from univtg_tpu.extract.pipeline import ClipEncoder, extract_query_features
+    from univtg_tpu.interop.clip_ckpt import load_clip_checkpoint
+
+    clip_params, clip_cfg = load_clip_checkpoint(args.clip_ckpt)
+    enc = ClipEncoder(clip_params, clip_cfg)
+    rows = load_jsonl(args.metadata)
+    extract_query_features(enc, rows, args.out_dir)
+    print(f"wrote {len(rows)} query features to {args.out_dir}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="univtg_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **extra):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    for name, fn in (
+        ("train-mr", cmd_train_mr),
+        ("train-hl", cmd_train_hl),
+        ("train-qfvs", cmd_train_qfvs),
+    ):
+        sp = add(name, fn)
+        sp.add_argument("--preset", required=True)
+        sp.add_argument("--resume", default=None)
+        sp.add_argument("overrides", nargs="*")
+
+    sp = add("infer-mr", cmd_infer_mr)
+    sp.add_argument("--preset", required=True)
+    sp.add_argument("--resume", required=True)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("overrides", nargs="*")
+
+    sp = add("eval", cmd_eval)
+    sp.add_argument("--submission", required=True)
+    sp.add_argument("--gt", required=True)
+    sp.add_argument("--out", default=None)
+
+    sp = add("ground", cmd_ground)
+    sp.add_argument("--preset", required=True)
+    sp.add_argument("--resume", required=True)
+    sp.add_argument("--clip-ckpt", required=True)
+    sp.add_argument("--video", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("overrides", nargs="*")
+
+    sp = add("pack-h5", cmd_pack_h5)
+    sp.add_argument("--metadata", required=True)
+    sp.add_argument("--v-feat-dirs", nargs="+", required=True)
+    sp.add_argument("--q-feat-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+
+    sp = add("extract-text", cmd_extract_text)
+    sp.add_argument("--metadata", required=True)
+    sp.add_argument("--clip-ckpt", required=True)
+    sp.add_argument("--out-dir", required=True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Canonical experiment presets.
+
+Encodes the hyperparameters of the reference's launch scripts (SURVEY.md
+2.7: scripts/qvhl_pretrain.sh, pretrain.sh, cotrain.sh, HL/QFVS runs) as
+config builders. Feature-dim arithmetic follows the scripts: slowfast 2304 +
+CLIP 512 (+2 TEF) video, CLIP 512 text.
+"""
+from __future__ import annotations
+
+from univtg_tpu.data.mr import MRDataConfig
+from univtg_tpu.data.hl import HLDataConfig
+from univtg_tpu.data.qfvs import QFVSDataConfig
+from univtg_tpu.models import ModelConfig
+from univtg_tpu.models.losses import LossWeights
+from univtg_tpu.train.driver_mr import TrainConfig
+from univtg_tpu.train.driver_hl import HLTrainConfig
+from univtg_tpu.train.driver_qfvs import QFVSTrainConfig
+
+SLOWFAST_DIM = 2304
+CLIP_DIM = 512
+TEF_DIM = 2
+
+
+def flagship_model(**kw) -> ModelConfig:
+    """The released UniVTG architecture (hidden 1024, 4 layers, ff 1024)."""
+    base = dict(
+        vid_dim=SLOWFAST_DIM + CLIP_DIM + TEF_DIM,
+        txt_dim=CLIP_DIM,
+        hidden_dim=1024,
+        num_layers=4,
+        num_heads=8,
+        ffn_dim=1024,
+        droppath=0.1,
+        input_dropout=0.5,
+        max_v_l=75,
+        max_q_l=32,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def qvhighlights_mr(
+    data_root: str = "data/qvhighlights",
+    results_dir: str = "results/mr-qvhighlights",
+    **kw,
+) -> TrainConfig:
+    """QVHighlights MR+HL fine-tuning (scripts/qvhl_pretrain.sh: bsz 32,
+    lr 1e-4, 200 epochs, b10/g1/f10/s0.1, eval_mode add, nms 0.7)."""
+    data = dict(
+        dset_name="qvhighlights",
+        v_feat_dirs=[f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"],
+        q_feat_dir=f"{data_root}/txt_clip",
+        v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
+        q_feat_dim=CLIP_DIM,
+        clip_len=2.0,
+        max_q_l=32,
+        max_v_l=75,
+    )
+    cfg = TrainConfig(
+        model=flagship_model(),
+        train_data=MRDataConfig(
+            data_path=f"{data_root}/metadata/qvhighlights_train.jsonl", **data
+        ),
+        eval_data=MRDataConfig(
+            data_path=f"{data_root}/metadata/qvhighlights_val.jsonl", **data
+        ),
+        results_dir=results_dir,
+        bsz=32,
+        n_epoch=200,
+        lr=1e-4,
+        lr_drop=200,
+        lr_warmup=10,
+        weights=LossWeights(b=10, g=1, f=10, s_intra=0.1, s_inter=0.1),
+        eval_mode="add",
+        nms_thd=0.7,
+        main_metric="MR-full-mAP",
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
+def tvsum_hl(
+    data_root: str = "data/tvsum", results_dir: str = "results/hl-tvsum", **kw
+) -> HLTrainConfig:
+    cfg = HLTrainConfig(
+        model=flagship_model(vid_dim=SLOWFAST_DIM + CLIP_DIM + TEF_DIM),
+        data=HLDataConfig(
+            dset_name="tvsum",
+            anno_path=f"{data_root}/tvsum_anno.json",
+            v_feat_dirs=[f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"],
+            q_feat_dir=f"{data_root}/txt_clip",
+        ),
+        results_dir=results_dir,
+        bsz=4,
+        n_epoch=200,
+        lr=1e-4,
+        weights=LossWeights(b=0, g=0, f=10, s_intra=0.1, s_inter=0.1),
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
+def qfvs(
+    data_root: str = "data/qfvs", results_dir: str = "results/qfvs", **kw
+) -> QFVSTrainConfig:
+    cfg = QFVSTrainConfig(
+        model=flagship_model(
+            vid_dim=CLIP_DIM + TEF_DIM, max_v_l=200, hidden_dim=1024
+        ),
+        data=QFVSDataConfig(root=data_root),
+        tags_mat_path="data/ute_query/Tags.mat",
+        results_dir=results_dir,
+        n_epoch=20,
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
+def _replace(cfg, key, value):
+    import dataclasses
+
+    if "." in key:
+        head, rest = key.split(".", 1)
+        sub = _replace(getattr(cfg, head), rest, value)
+        return dataclasses.replace(cfg, **{head: sub})
+    field_types = {f.name: f for f in dataclasses.fields(cfg)}
+    assert key in field_types, f"unknown config field {key}"
+    return dataclasses.replace(cfg, **{key: value})
+
+
+PRESETS = {
+    "qvhighlights_mr": qvhighlights_mr,
+    "tvsum_hl": tvsum_hl,
+    "qfvs": qfvs,
+}
