@@ -140,6 +140,27 @@ def cmd_ground(args):
     print(json.dumps({k: v for k, v in result.items() if k != "saliency"}, indent=1))
 
 
+def cmd_infer_hl(args):
+    from univtg_tpu.train.driver_hl import infer_hl
+
+    print(json.dumps(infer_hl(_preset_cfg(args), args.ckpt_dir), indent=1))
+
+
+def cmd_infer_qfvs(args):
+    from univtg_tpu.train.driver_qfvs import infer_qfvs
+
+    print(json.dumps(infer_qfvs(_preset_cfg(args), args.ckpt_dir), indent=1))
+
+
+def cmd_plot(args):
+    from univtg_tpu.tools.plots import plot_submission
+
+    n = plot_submission(
+        args.submission, args.gt, args.out_dir, args.max_queries, baseline_jsonl=args.baseline
+    )
+    print(f"wrote {n} figures to {args.out_dir}")
+
+
 def cmd_pack_h5(args):
     from univtg_tpu.tools.pack_h5 import pack_dataset
 
@@ -184,6 +205,19 @@ def build_parser():
     sp.add_argument("--resume", required=True)
     sp.add_argument("--out", default=None)
     sp.add_argument("overrides", nargs="*")
+
+    for name, fn in (("infer-hl", cmd_infer_hl), ("infer-qfvs", cmd_infer_qfvs)):
+        sp = add(name, fn)
+        sp.add_argument("--preset", required=True)
+        sp.add_argument("--ckpt-dir", required=True)
+        sp.add_argument("overrides", nargs="*")
+
+    sp = add("plot", cmd_plot)
+    sp.add_argument("--submission", required=True)
+    sp.add_argument("--gt", default=None)
+    sp.add_argument("--baseline", default=None)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--max-queries", type=int, default=20)
 
     sp = add("eval", cmd_eval)
     sp.add_argument("--submission", required=True)

@@ -105,6 +105,30 @@ def eval_domain(cfg: HLTrainConfig, model, params, dataset: HLDataset, eval_step
     return round(mAP * 100, 4)
 
 
+def infer_hl(cfg: HLTrainConfig, ckpt_dir: str) -> dict:
+    """Eval-only pass over the per-domain best checkpoints (the reference's
+    main/inference_hl.py)."""
+    from univtg_tpu.data.hl import load_hl_splits
+
+    domains = cfg.domains or list(
+        load_hl_splits(cfg.data.dset_name, cfg.data.splits_path)
+    )
+    model = UniVTG(cfg.model)
+    optimizer = make_optimizer(lambda s: 0.0)
+    scores = {}
+    for domain in domains:
+        data_cfg = dataclasses.replace(cfg.data, domain=domain)
+        dataset = HLDataset(data_cfg)
+        state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(0))
+        params = ckpt.restore_params(
+            os.path.join(ckpt_dir, f"model_{domain}_best.ckpt"), state.params
+        )
+        eval_step = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
+        scores[domain] = eval_domain(cfg, model, params, dataset, eval_step)
+    scores["AVG"] = sum(scores.values()) / len(scores)
+    return scores
+
+
 def train_hl(cfg: HLTrainConfig) -> dict:
     os.makedirs(cfg.results_dir, exist_ok=True)
     from univtg_tpu.data.hl import load_hl_splits

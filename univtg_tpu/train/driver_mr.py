@@ -126,6 +126,9 @@ def train_mr(
     )
     steps_per_epoch = len(train_loader)
     model, optimizer, state = build_everything(cfg, steps_per_epoch)
+    if resume == "auto":  # elastic restart: pick up the latest checkpoint
+        latest = os.path.join(cfg.results_dir, "model_latest.ckpt")
+        resume = latest if os.path.exists(latest) else None
     if resume:
         state, _ = ckpt.restore_checkpoint(resume, state)
     state = state.replace(params=replicate_params(mesh, state.params))

@@ -143,6 +143,30 @@ def eval_split(cfg: QFVSTrainConfig, model, params, test_video: int, videos_tag)
     }
 
 
+def infer_qfvs(cfg: QFVSTrainConfig, ckpt_dir: str, videos_tag=None) -> dict:
+    """Eval-only pass over the per-split best checkpoints (the reference's
+    main/inference_qfvs.py)."""
+    if videos_tag is None:
+        videos_tag = load_videos_tag(cfg.tags_mat_path)
+    model = UniVTG(cfg.model)
+    optimizer = make_optimizer(lambda s: 0.0)
+    results = {}
+    all_videos = set(cfg.data.train_videos) | set(cfg.data.test_videos)
+    for s in cfg.splits:
+        all_videos |= set(s)
+    for split in cfg.splits:
+        test_video = sorted(all_videos - set(split))[0]
+        state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(0))
+        params = ckpt.restore_params(
+            os.path.join(ckpt_dir, f"model_V{test_video}_best.ckpt"), state.params
+        )
+        results[f"V{test_video}"] = eval_split(cfg, model, params, test_video, videos_tag)
+    results["AVG_F"] = round(
+        sum(v["F"] for k, v in results.items() if k.startswith("V")) / len(cfg.splits), 2
+    )
+    return results
+
+
 def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
     """videos_tag: per-video (num_shots, num_concepts) tag matrices; loaded
     from cfg.tags_mat_path (eval/Tags.mat format) when not given."""
@@ -150,11 +174,11 @@ def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
     if videos_tag is None:
         videos_tag = load_videos_tag(cfg.tags_mat_path)
     results = {}
+    all_videos = set(cfg.data.train_videos) | set(cfg.data.test_videos)
+    for s in cfg.splits:
+        all_videos |= set(s)
     for split in cfg.splits:
-        all_videos = set()
-        for s in cfg.splits:
-            all_videos |= set(s)
-        test_video = list(all_videos - set(split))[0]
+        test_video = sorted(all_videos - set(split))[0]
         data_cfg = dataclasses.replace(cfg.data, train_videos=tuple(split))
         dataset = QFVSDataset(data_cfg)
 
