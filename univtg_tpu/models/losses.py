@@ -213,13 +213,19 @@ def _cosine_rows(a, b, eps=1e-8):
     return jnp.sum(a * b, axis=-1) / (an * bn)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
 class LossWeights:
     """Loss coefficient container (argparse *_loss_coef flags)."""
 
-    def __init__(self, b=10.0, g=1.0, f=10.0, s_intra=0.1, s_inter=0.1, eos_coef=0.1):
-        self.b, self.g, self.f = b, g, f
-        self.s_intra, self.s_inter = s_intra, s_inter
-        self.eos_coef = eos_coef
+    b: float = 10.0
+    g: float = 1.0
+    f: float = 10.0
+    s_intra: float = 0.1
+    s_inter: float = 0.1
+    eos_coef: float = 0.1
 
     def as_dict(self):
         return {

@@ -48,7 +48,7 @@ def qvhighlights_mr(
     lr 1e-4, 200 epochs, b10/g1/f10/s0.1, eval_mode add, nms 0.7)."""
     data = dict(
         dset_name="qvhighlights",
-        v_feat_dirs=[f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"],
+        v_feat_dirs=(f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"),
         q_feat_dir=f"{data_root}/txt_clip",
         v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
         q_feat_dim=CLIP_DIM,
@@ -88,7 +88,7 @@ def tvsum_hl(
         data=HLDataConfig(
             dset_name="tvsum",
             anno_path=f"{data_root}/tvsum_anno.json",
-            v_feat_dirs=[f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"],
+            v_feat_dirs=(f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"),
             q_feat_dir=f"{data_root}/txt_clip",
         ),
         results_dir=results_dir,

@@ -141,9 +141,9 @@ def train_mr(
 
     train_log = open(os.path.join(cfg.results_dir, "train_log.jsonl"), "a")
     eval_log = open(os.path.join(cfg.results_dir, "eval_log.jsonl"), "a")
-    cfg_json = json.dumps(
-        dataclasses.asdict(cfg), default=lambda o: str(o), indent=1
-    )
+    from univtg_tpu.train.config_io import to_json
+
+    cfg_json = to_json(cfg)
     with open(os.path.join(cfg.results_dir, "opt.json"), "w") as f:
         f.write(cfg_json)
 
