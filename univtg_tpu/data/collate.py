@@ -13,7 +13,13 @@ import numpy as np
 from univtg_tpu.core.padding import pad_stack, pad_to
 
 
-def collate_mr(items, max_q_l: int, max_v_l: int, pad_batch_to: Optional[int] = None):
+def collate_mr(
+    items,
+    max_q_l: int,
+    max_v_l: int,
+    pad_batch_to: Optional[int] = None,
+    max_windows: int = 5,
+):
     """Items (from MRDataset) -> {'model_inputs', 'targets', 'meta'}.
 
     If pad_batch_to is given, the batch dim is padded with repeats of the
@@ -46,6 +52,18 @@ def collate_mr(items, max_q_l: int, max_v_l: int, pad_batch_to: Optional[int] = 
         "span_labels_nn": span_nn.astype(np.float32),
         "batch_mask": batch_mask,
     }
+    if "span_labels" in items[0]:
+        # padded (B, max_windows, 2) cxw windows + counts (moment_detr
+        # matching); static Wmax keeps one compiled program per bucket
+        wmax = max_windows
+        span_labels = np.zeros((len(items), wmax, 2), np.float32)
+        n_windows = np.zeros(len(items), np.int32)
+        for i, it in enumerate(items):
+            w = np.asarray(it["span_labels"], np.float32).reshape(-1, 2)[:wmax]
+            span_labels[i, : len(w)] = w
+            n_windows[i] = len(w)
+        targets["span_labels"] = span_labels
+        targets["n_windows"] = n_windows
     if "saliency_scores" in items[0]:
         sal, _ = pad_stack([it["saliency_scores"] for it in items], max_v_l)
         targets["saliency_scores"] = sal.astype(np.float32)

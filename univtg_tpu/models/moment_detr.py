@@ -230,11 +230,13 @@ def hungarian_match(outputs, span_labels, n_windows, cost_span=10.0, cost_giou=1
     cost = cost_span * l1 + cost_giou * (-giou) + cost_class * cost_cls
 
     B, Q, W = cost.shape
+    # the assignment is a non-differentiable routing decision (like the
+    # reference's @torch.no_grad matcher, model/matcher.py:36)
     return jax.pure_callback(
         _lsap_host,
         jax.ShapeDtypeStruct((B, W), jnp.int32),
-        cost,
-        n_windows,
+        jax.lax.stop_gradient(cost),
+        jax.lax.stop_gradient(n_windows),
         vmap_method="sequential",
     )
 

@@ -44,6 +44,11 @@ logger = logging.getLogger(__name__)
 @dataclasses.dataclass
 class TrainConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    # "univtg" (dense regression) or "moment_detr" (query-based baseline;
+    # cfg.model must then be a MomentDETRConfig) -- the reference's
+    # --model_id dynamic import (main/config.py:341-342)
+    model_id: str = "univtg"
+    saliency_margin: float = 0.2
     train_data: Optional[MRDataConfig] = None
     eval_data: Optional[MRDataConfig] = None
     results_dir: str = "results/run"
@@ -88,8 +93,16 @@ def _strip_meta(batch):
     return batch["model_inputs"], batch["targets"]
 
 
+def build_model(cfg: TrainConfig):
+    if cfg.model_id == "moment_detr":
+        from univtg_tpu.models.moment_detr import MomentDETR
+
+        return MomentDETR(cfg.model)
+    return UniVTG(cfg.model)
+
+
 def build_everything(cfg: TrainConfig, steps_per_epoch: int):
-    model = UniVTG(cfg.model)
+    model = build_model(cfg)
     schedule = build_schedule(
         cfg.lr, cfg.lr_warmup, cfg.lr_drop, cfg.lr_gamma, max(steps_per_epoch, 1)
     )
@@ -133,10 +146,18 @@ def train_mr(
         state, _ = ckpt.restore_checkpoint(resume, state)
     state = state.replace(params=replicate_params(mesh, state.params))
 
-    train_step = make_train_step(
-        model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
-    )
-    eval_step = make_eval_step(model, cfg.eval_mode)
+    if cfg.model_id == "moment_detr":
+        from univtg_tpu.train.steps import make_md_eval_step, make_md_train_step
+
+        train_step = make_md_train_step(
+            model, optimizer, cfg.weights, cfg.weights.eos_coef, cfg.saliency_margin
+        )
+        eval_step = make_md_eval_step(model)
+    else:
+        train_step = make_train_step(
+            model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
+        )
+        eval_step = make_eval_step(model, cfg.eval_mode)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     train_log = open(os.path.join(cfg.results_dir, "train_log.jsonl"), "a")

@@ -47,17 +47,15 @@ def init_state(model, cfg, optimizer, rng, batch_shapes=None):
 
 
 def forward(model, params, model_inputs, *, train=False, rngs=None):
-    return model.apply(
-        {"params": params},
+    args = [
         model_inputs["src_txt"],
         model_inputs["src_txt_mask"],
         model_inputs["src_vid"],
         model_inputs["src_vid_mask"],
-        model_inputs.get("src_cls"),
-        model_inputs.get("src_cls_mask"),
-        train=train,
-        rngs=rngs,
-    )
+    ]
+    if model_inputs.get("src_cls") is not None:
+        args += [model_inputs["src_cls"], model_inputs["src_cls_mask"]]
+    return model.apply({"params": params}, *args, train=train, rngs=rngs)
 
 
 def make_train_step(
@@ -94,6 +92,69 @@ def make_train_step(
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_md_train_step(model, optimizer, weights, eos_coef=0.1, saliency_margin=0.2,
+                       donate: bool = True):
+    """Moment-DETR train step: Hungarian matching + matched losses, aux
+    decoder-layer terms weighted like their base losses
+    (model/moment_detr.py weight_dict handling)."""
+    import re
+
+    from univtg_tpu.models.moment_detr import moment_detr_losses
+
+    wd = weights.as_dict()
+
+    def step(state: TrainState, model_inputs, targets, rng):
+        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            outputs = forward(
+                model,
+                params,
+                model_inputs,
+                train=True,
+                rngs={"dropout": drop_rng, "droppath": path_rng},
+            )
+            ld = moment_detr_losses(
+                outputs, targets, eos_coef=eos_coef, saliency_margin=saliency_margin
+            )
+            total = sum(
+                wd.get(re.sub(r"_\d+$", "", k), 0.0) * v for k, v in ld.items()
+            )
+            ld["loss_overall"] = total
+            return total, ld
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = dict(loss_dict)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_md_eval_step(model):
+    """Moment-DETR decode: per-query softmax fg prob + cxw->xx spans
+    (main/inference_mr.py:109-115, 149-150)."""
+    from univtg_tpu.core.spans import cxw_to_xx
+
+    def step(params, model_inputs, targets):
+        outputs = forward(model, params, model_inputs, train=False)
+        prob = jax.nn.softmax(outputs["pred_logits"], axis=-1)[..., 0]  # (B, Q)
+        spans = cxw_to_xx(outputs["pred_spans"])  # (B, Q, 2) normalized
+        saliency = outputs["saliency_scores"].astype(jnp.float16).astype(jnp.float32)
+        mask = model_inputs["src_vid_mask"]
+        return {
+            "scores": prob,
+            "spans": spans,
+            "saliency": saliency,
+            "valid_len": mask.sum(axis=1).astype(jnp.int32),
+        }
+
+    return jax.jit(step)
 
 
 def make_eval_step(model, eval_mode: Optional[str] = "add"):
