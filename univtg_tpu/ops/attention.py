@@ -21,6 +21,17 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def resolve_impl(impl: str) -> str:
+    """'pallas' requires a TPU backend; everything else falls back to the
+    XLA einsum path so configs stay portable across hosts/tests."""
+    if impl == "pallas":
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return "xla"
+    return impl
+
+
 def attention_scores_bias(key_padding_mask):
     """(B, Lk) float mask (1=valid) -> (B, 1, 1, Lk) additive bias."""
     return (1.0 - key_padding_mask)[:, None, None, :] * NEG_INF
@@ -81,6 +92,7 @@ def multihead_attention(
       key_padding_mask: (B, Lk) float, 1=valid.
       impl: "xla" | "pallas".
     """
+    impl = resolve_impl(impl)
     D = q_in.shape[-1]
     q = q_in @ in_proj_kernel[:, :D] + in_proj_bias[:D]
     k = k_in @ in_proj_kernel[:, D : 2 * D] + in_proj_bias[D : 2 * D]
