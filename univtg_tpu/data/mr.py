@@ -164,10 +164,30 @@ class MRDataset:
 
         self.is_test_split = "test" in _os.path.basename(cfg.data_path)
         norm = cfg.normalize_v
+
+        def cache_path(feat_dir):
+            if not cfg.h5_cache_dir:
+                return None
+            name = _os.path.basename(feat_dir.rstrip("/"))
+            return _os.path.join(cfg.h5_cache_dir, f"{name}.hdf5")
+
+        vids = sorted({m["vid"] for m in self.data})
+        qids = sorted({m["qid"] for m in self.data})
+        # h5 caches store already-normalized features (tools/pack_h5.py),
+        # mirroring use_cache (main/dataset.py:448-467)
         self.v_sources = [
-            FeatureSource(d, normalize=norm) for d in cfg.v_feat_dirs
+            FeatureSource(
+                d, normalize=norm, h5_cache_path=cache_path(d), cache_keys=vids
+            )
+            for d in cfg.v_feat_dirs
         ]
-        self.q_source = FeatureSource(cfg.q_feat_dir, key="last_hidden_state", normalize=False)
+        self.q_source = FeatureSource(
+            cfg.q_feat_dir,
+            key="last_hidden_state",
+            normalize=False,
+            h5_cache_path=cache_path(cfg.q_feat_dir),
+            cache_keys=qids,
+        )
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
