@@ -38,6 +38,9 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # attention implementation: "xla" | "pallas" (pallas requires TPU)
     attention_impl: str = "xla"
+    # sequence-parallel activation sharding between encoder layers (needs an
+    # active jax.set_mesh context with a "tp" axis; no-op otherwise)
+    seq_shard: bool = False
 
     @property
     def dtype(self):

@@ -104,9 +104,13 @@ class Encoder(nn.Module):
     pre_norm: bool = False
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    seq_shard: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
+        if self.seq_shard:
+            from univtg_tpu.parallel.mesh import seq_constraint
+
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.dim,
@@ -119,6 +123,8 @@ class Encoder(nn.Module):
                 self.dtype,
                 name=f"layers_{i}",
             )(x, key_padding_mask, pos, train=train)
+            if self.seq_shard:
+                x = seq_constraint(x)
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(x)
         return x

@@ -87,6 +87,7 @@ class UniVTG(nn.Module):
             cfg.pre_norm,
             cfg.attention_impl,
             dtype,
+            cfg.seq_shard,
             name="encoder",
         )(src, mask, pos, train=train)
         # Mask the conv heads at every layer: stacked k=3 convs have a +-3

@@ -76,6 +76,20 @@ def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("dp"))
 
 
+def seq_constraint(x, axis: str = "tp"):
+    """Sequence-parallel activation constraint (Megatron-SP style): shard
+    the token axis of a (B, L, D) activation over `axis` for the
+    elementwise/LN-heavy regions between attention blocks; XLA inserts the
+    all-gathers attention needs. No-op without an active mesh context
+    (jax.set_mesh) or when the axis is absent."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.shape or axis not in mesh.shape:
+        return x
+    if x.shape[1] % mesh.shape[axis] != 0:  # token axis must tile evenly
+        return x
+    return jax.lax.with_sharding_constraint(x, P("dp", axis, None))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with the leading axis split over dp.
 
