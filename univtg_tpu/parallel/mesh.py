@@ -72,8 +72,8 @@ def replicate_params(mesh: Mesh, params):
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def batch_sharding(mesh: Mesh):
-    return NamedSharding(mesh, P("dp"))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0):
+    return NamedSharding(mesh, P(*([None] * batch_axis + ["dp"])))
 
 
 def seq_constraint(x, axis: str = "tp"):
@@ -90,10 +90,11 @@ def seq_constraint(x, axis: str = "tp"):
     return jax.lax.with_sharding_constraint(x, P("dp", axis, None))
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the leading axis split over dp.
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Device-put a host batch with the batch axis split over dp
+    (batch_axis=1 for K-stacked scan batches).
 
     Non-array leaves (meta lists) must be stripped before calling.
     """
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, batch_axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

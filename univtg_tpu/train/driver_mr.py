@@ -87,6 +87,9 @@ class TrainConfig:
     use_gates: bool = False  # per-sample loss gating (VLP multi-corpus)
     shard_index: int = 0  # per-host data shard (multi-process pretraining)
     num_shards: int = 1
+    # >1: lax.scan K steps per device dispatch (amortizes dispatch latency;
+    # univtg model only). Remainder batches run through the single step.
+    scan_steps: int = 1
 
 
 def _strip_meta(batch):
@@ -158,6 +161,13 @@ def train_mr(
             model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
         )
         eval_step = make_eval_step(model, cfg.eval_mode)
+    scan_step = None
+    if cfg.scan_steps > 1 and cfg.model_id != "moment_detr":
+        from univtg_tpu.train.steps import make_scan_train_step
+
+        scan_step = make_scan_train_step(
+            model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
+        )
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     train_log = open(os.path.join(cfg.results_dir, "train_log.jsonl"), "a")
@@ -179,22 +189,60 @@ def train_mr(
             t0 = time.time()
             agg = {}
             n_steps = 0
-            for batch in train_loader:
-                model_inputs, targets = _strip_meta(batch)
-                model_inputs = shard_batch(mesh, model_inputs)
-                targets = shard_batch(mesh, targets)
-                state, metrics = train_step(state, model_inputs, targets, rng)
-                n_steps += 1
-                if n_steps % cfg.log_every == 0 or n_steps == steps_per_epoch:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    for k, v in host.items():
-                        agg[k] = agg.get(k, 0.0) + v
+            n_recorded = 0
+
+            def record(metrics, scalar=True):
+                nonlocal n_recorded
+                host = {
+                    k: float(v if scalar else np.asarray(v)[-1])
+                    for k, v in metrics.items()
+                }
+                for k, v in host.items():
+                    agg[k] = agg.get(k, 0.0) + v
+                n_recorded += 1
+
+            if scan_step is not None:
+                from univtg_tpu.train.steps import stack_batches
+
+                pending = []
+                for batch in train_loader:
+                    pending.append(batch)
+                    if len(pending) == cfg.scan_steps:
+                        smi, stg = stack_batches(pending)
+                        state, metrics = scan_step(
+                            state,
+                            shard_batch(mesh, smi, batch_axis=1),
+                            shard_batch(mesh, stg, batch_axis=1),
+                            rng,
+                        )
+                        n_steps += len(pending)
+                        pending = []
+                        record(metrics, scalar=False)
+                for batch in pending:  # remainder through the single step
+                    model_inputs, targets = _strip_meta(batch)
+                    state, metrics = train_step(
+                        state,
+                        shard_batch(mesh, model_inputs),
+                        shard_batch(mesh, targets),
+                        rng,
+                    )
+                    n_steps += 1
+                    record(metrics)
+            else:
+                for batch in train_loader:
+                    model_inputs, targets = _strip_meta(batch)
+                    model_inputs = shard_batch(mesh, model_inputs)
+                    targets = shard_batch(mesh, targets)
+                    state, metrics = train_step(state, model_inputs, targets, rng)
+                    n_steps += 1
+                    if n_steps % cfg.log_every == 0 or n_steps == steps_per_epoch:
+                        record(metrics)
             dt = time.time() - t0
             line = {
                 "epoch": epoch,
                 "time": dt,
                 "steps": n_steps,
-                **{k: v / max(1, n_steps // cfg.log_every) for k, v in agg.items()},
+                **{k: v / max(1, n_recorded) for k, v in agg.items()},
             }
             train_log.write(json.dumps(line) + "\n")
             train_log.flush()

@@ -94,6 +94,66 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_scan_train_step(
+    model,
+    optimizer,
+    weights: LossWeights,
+    losses: Sequence[str] = ("spans", "labels", "saliency"),
+    use_gates: bool = False,
+):
+    """Multi-step training in ONE device dispatch: lax.scan over K stacked
+    batches. Amortizes host->device dispatch latency (dominant on tunneled
+    or small-model setups) K-fold; the K axis is staged to device once.
+
+    Returns jitted (state, stacked_model_inputs, stacked_targets, rng) ->
+    (state, stacked_metrics) where every array leaf has a leading K axis.
+    """
+
+    def one_step(state, model_inputs, targets, rng):
+        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            outputs = forward(
+                model,
+                params,
+                model_inputs,
+                train=True,
+                rngs={"dropout": drop_rng, "droppath": path_rng},
+            )
+            gates = targets.get("gates") if use_gates else None
+            ld = compute_losses(outputs, targets, weights, losses, gates)
+            return ld["loss_overall"], ld
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state, step=state.step + 1), loss_dict
+
+    def scan_step(state: TrainState, stacked_inputs, stacked_targets, rng):
+        def body(state, per_step):
+            mi, tg = per_step
+            state, metrics = one_step(state, mi, tg, rng)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (stacked_inputs, stacked_targets))
+
+    return jax.jit(scan_step, donate_argnums=(0,))
+
+
+def stack_batches(batches):
+    """List of K collated batches -> stacked (model_inputs, targets) pytrees
+    with a leading K axis (meta is dropped)."""
+    import numpy as np
+
+    mis = [b["model_inputs"] for b in batches]
+    tgs = [b["targets"] for b in batches]
+    stack = lambda *xs: np.stack(xs)
+    return (
+        jax.tree_util.tree_map(stack, *mis),
+        jax.tree_util.tree_map(stack, *tgs),
+    )
+
+
 def make_md_train_step(model, optimizer, weights, eos_coef=0.1, saliency_margin=0.2,
                        donate: bool = True):
     """Moment-DETR train step: Hungarian matching + matched losses, aux
