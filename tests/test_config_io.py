@@ -34,3 +34,15 @@ def test_hl_qfvs_config_roundtrip():
     assert from_json(HLTrainConfig, to_json(hl)) == hl
     qf = qfvs()
     assert from_json(QFVSTrainConfig, to_json(qf)) == qf
+
+
+def test_snapshot_code(tmp_path):
+    import zipfile
+
+    from univtg_tpu.train.config_io import snapshot_code
+
+    out = snapshot_code(str(tmp_path))
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+    assert any(n.endswith("models/univtg.py") for n in names)
+    assert any(n.endswith("native/src/ap_kernel.cpp") for n in names)

@@ -113,3 +113,27 @@ def test_codalab_zip(tmp_path):
             "hl_val_submission.jsonl",
             "hl_test_submission.jsonl",
         }
+
+
+def test_encode_class_bank():
+    import jax
+
+    from univtg_tpu.extract.clip.model import CLIP, CLIPConfig
+    from univtg_tpu.extract.pipeline import ClipEncoder
+    from univtg_tpu.tools.teacher import encode_class_bank
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=1, vision_width=64,
+        vision_patch_size=16, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=4, transformer_layers=1,
+    )
+    model = CLIP(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 32, 32, 3), np.float32),
+        np.zeros((1, 77), np.int32),
+    )
+    enc = ClipEncoder(params, cfg, text_batch=2)
+    bank = encode_class_bank(enc, ["dog", "pizza", "surfing"])
+    assert bank.shape == (3, 32)
+    assert np.isfinite(bank).all()

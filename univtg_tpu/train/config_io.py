@@ -64,6 +64,25 @@ def from_json(cls: Type, s: str):
     return _build(cls, json.loads(s))
 
 
+def snapshot_code(results_dir: str) -> str:
+    """Zip the framework source into results_dir/code.zip for run
+    reproducibility (the reference snapshots its tree per run,
+    main/config.py:262-270)."""
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(results_dir, "code.zip")
+    os.makedirs(results_dir, exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith((".py", ".cpp", ".json")):
+                    path = os.path.join(dirpath, fn)
+                    z.write(path, os.path.relpath(path, os.path.dirname(pkg_root)))
+    return out
+
+
 def save_config(cfg, results_dir: str, name: str = "opt.json"):
     os.makedirs(results_dir, exist_ok=True)
     with open(os.path.join(results_dir, name), "w") as f:

@@ -172,11 +172,13 @@ def train_mr(
 
     train_log = open(os.path.join(cfg.results_dir, "train_log.jsonl"), "a")
     eval_log = open(os.path.join(cfg.results_dir, "eval_log.jsonl"), "a")
-    from univtg_tpu.train.config_io import to_json
+    from univtg_tpu.train.config_io import snapshot_code, to_json
 
     cfg_json = to_json(cfg)
     with open(os.path.join(cfg.results_dir, "opt.json"), "w") as f:
         f.write(cfg_json)
+    if cfg.shard_index == 0:
+        snapshot_code(cfg.results_dir)
 
     best_score, best_metrics, es_cnt = -np.inf, None, 0
     best_path = os.path.join(cfg.results_dir, "model_best.ckpt")
