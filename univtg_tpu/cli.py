@@ -62,6 +62,14 @@ def cmd_train_qfvs(args):
     print(json.dumps(train_qfvs(_preset_cfg(args)), indent=1))
 
 
+def cmd_train_vlp(args):
+    from univtg_tpu.train.driver_vlp import train_vlp
+
+    metrics, best = train_vlp(_preset_cfg(args), resume=args.resume)
+    print(json.dumps(metrics.get("brief", {}), indent=1))
+    print(f"best checkpoint: {best}")
+
+
 def cmd_infer_mr(args):
     """Eval-only run on the preset's eval split (the reference's
     start_inference, main/inference_mr.py:224-269)."""
@@ -194,6 +202,7 @@ def build_parser():
         ("train-mr", cmd_train_mr),
         ("train-hl", cmd_train_hl),
         ("train-qfvs", cmd_train_qfvs),
+        ("train-vlp", cmd_train_vlp),
     ):
         sp = add(name, fn)
         sp.add_argument("--preset", required=True)

@@ -119,6 +119,69 @@ def qfvs(
     return cfg
 
 
+def vlp_pretrain(
+    data_root: str = "data", results_dir: str = "results/vlp-pretrain", **kw
+):
+    """Large-scale point+interval+curve pretraining (scripts/pretrain.sh:
+    bsz 64, 10 epochs, hidden 1024, Ego4D point + VideoCC interval/curve;
+    corpus jsonl paths follow the reference vlp_mapping,
+    main/dataset.py:66-97)."""
+    from univtg_tpu.data.vlp import VLPCorpusSpec, VLPDataConfig
+    from univtg_tpu.train.driver_vlp import VLPTrainConfig
+
+    def corpus(rel_jsonl, dset, ftype, v_suffix="", q_suffix=""):
+        return VLPCorpusSpec(
+            data_path=f"{data_root}/{rel_jsonl}",
+            dset_name=dset,
+            v_feat_dirs=(
+                f"{data_root}/{dset}/vid_slowfast{v_suffix}",
+                f"{data_root}/{dset}/vid_clip{v_suffix}",
+            ),
+            q_feat_dir=f"{data_root}/{dset}/txt_clip{q_suffix}",
+            type=ftype,
+        )
+
+    cfg = VLPTrainConfig(
+        model=flagship_model(),
+        vlp_data=VLPDataConfig(
+            corpora=(
+                corpus("ego4d/metadata/point_egoclip_wo_val.jsonl", "ego4d", "point",
+                       "_point", "_point"),
+                corpus("videocc/metadata/interval_900k.jsonl", "videocc", "interval"),
+                corpus("videocc/metadata/curve_5_window.jsonl", "videocc", "curve",
+                       "", "_concept"),
+            ),
+            v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
+            q_feat_dim=CLIP_DIM,
+            txt_drop_ratio=0.1,
+        ),
+        train_data=None,
+        eval_data=MRDataConfig(  # zero-shot QVHighlights (train_vlp_ddp.py:246-259)
+            dset_name="qvhighlights",
+            data_path=f"{data_root}/qvhighlights/metadata/qvhighlights_val.jsonl",
+            v_feat_dirs=(
+                f"{data_root}/qvhighlights/vid_slowfast",
+                f"{data_root}/qvhighlights/vid_clip",
+            ),
+            q_feat_dir=f"{data_root}/qvhighlights/txt_clip",
+            v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
+            q_feat_dim=CLIP_DIM,
+        ),
+        results_dir=results_dir,
+        bsz=64,
+        n_epoch=10,
+        lr=1e-4,
+        lr_warmup=1,
+        lr_drop=200,
+        weights=LossWeights(b=10, g=1, f=10, s_intra=0.1, s_inter=0.1),
+        eval_mode="add",
+        max_es_cnt=-1,
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
 def _replace(cfg, key, value):
     import dataclasses
 
@@ -135,4 +198,5 @@ PRESETS = {
     "qvhighlights_mr": qvhighlights_mr,
     "tvsum_hl": tvsum_hl,
     "qfvs": qfvs,
+    "vlp_pretrain": vlp_pretrain,
 }
