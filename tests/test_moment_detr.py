@@ -177,3 +177,55 @@ def test_losses_finite_and_jittable(batch):
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert "loss_b_0" in losses  # aux losses present
+
+
+def test_contrastive_align_loss(batch):
+    """Reference semantics check (model/moment_detr.py:272-290): manual
+    computation with a known assignment."""
+    from univtg_tpu.models.moment_detr import contrastive_align_loss
+
+    rng = np.random.default_rng(3)
+    B, Q, Lt, d = 2, 4, 5, 8
+    pq = rng.standard_normal((B, Q, d)).astype(np.float32)
+    pt = rng.standard_normal((B, Lt, d)).astype(np.float32)
+    pq /= np.linalg.norm(pq, axis=-1, keepdims=True)
+    pt /= np.linalg.norm(pt, axis=-1, keepdims=True)
+    assign = np.array([[1, -1], [2, 3]], np.int32)  # (B, Wmax=2)
+    w_valid = np.array([[1.0, 0.0], [1.0, 1.0]], np.float32)
+
+    got = float(
+        contrastive_align_loss(
+            {"proj_queries": jnp.asarray(pq), "proj_txt_mem": jnp.asarray(pt)},
+            jnp.asarray(assign),
+            jnp.asarray(w_valid),
+        )
+    )
+    # manual: logits = sum_t <q, t>/T; positives = matched queries
+    logits = (pq @ pt.transpose(0, 2, 1)).sum(2) / 0.07
+    want = 0.0
+    for b, pos in enumerate([[1], [2, 3]]):
+        pos_term = sum(logits[b, p] for p in pos) / len(pos)
+        neg_term = np.log(np.exp(logits[b]).sum())
+        want += -pos_term + neg_term
+    want /= B
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_contrastive_align_in_model_losses(batch):
+    import jax as _jax
+
+    vid, vid_mask, txt, txt_mask = batch
+    cfg = MomentDETRConfig(**{**CFG.__dict__, "contrastive_align": True})
+    model = MomentDETR(cfg)
+    params = model.init(_jax.random.PRNGKey(0), txt, txt_mask, vid, vid_mask, train=False)
+    out = model.apply(params, txt, txt_mask, vid, vid_mask, train=False)
+    assert "proj_queries" in out
+    targets = {
+        "span_labels": jnp.asarray([[[0.3, 0.2]], [[0.5, 0.4]]], jnp.float32),
+        "n_windows": jnp.asarray([1, 1], jnp.int32),
+        "saliency_pos_labels": jnp.asarray([[3], [5]], jnp.int32),
+        "saliency_neg_labels": jnp.asarray([[20], [1]], jnp.int32),
+    }
+    losses = moment_detr_losses(out, targets)
+    assert "loss_contrastive_align" in losses
+    assert np.isfinite(float(losses["loss_contrastive_align"]))

@@ -241,6 +241,29 @@ def hungarian_match(outputs, span_labels, n_windows, cost_span=10.0, cost_giou=1
     )
 
 
+def contrastive_align_loss(outputs, assign, w_valid, temperature=0.07):
+    """Matched-query vs text-token InfoNCE (model/moment_detr.py:272-290).
+
+    Args:
+      outputs: proj_queries (B, Q, d), proj_txt_mem (B, Lt, d) normalized.
+      assign: (B, Wmax) matched query per target (-1 pad).
+      w_valid: (B, Wmax) float validity.
+    """
+    logits = jnp.einsum(
+        "bqd,btd->bqt", outputs["proj_queries"], outputs["proj_txt_mem"]
+    ).sum(2) / temperature  # (B, Q)
+    B, Q = logits.shape
+    pos_map = jnp.zeros((B, Q))
+    valid_assign = jnp.where(w_valid > 0, assign, -1)
+    pos_map = jax.vmap(
+        lambda m, a: m.at[jnp.maximum(a, 0)].max(jnp.where(a >= 0, 1.0, 0.0))
+    )(pos_map, valid_assign)
+    pos_term = (logits * pos_map).sum(1)
+    num_pos = jnp.maximum(pos_map.sum(1), 1.0)
+    neg_term = jax.nn.logsumexp(logits, axis=1)
+    return (-pos_term / num_pos + neg_term).mean()
+
+
 def moment_detr_losses(
     outputs,
     targets,
@@ -260,7 +283,7 @@ def moment_detr_losses(
     B, Wmax = span_labels.shape[:2]
     w_valid = (jnp.arange(Wmax)[None, :] < n_windows[:, None]).astype(jnp.float32)
 
-    def matched_losses(out):
+    def matched_losses(out, with_align=False):
         assign = hungarian_match(out, span_labels, n_windows)  # (B, Wmax)
         safe_assign = jnp.maximum(assign, 0)
         pred = jnp.take_along_axis(
@@ -283,9 +306,14 @@ def moment_detr_losses(
         ce = -(fg * logp[..., 0] + (1.0 - fg) * logp[..., 1])
         weights = fg * 1.0 + (1.0 - fg) * eos_coef
         loss_f = (ce * weights).mean()
-        return {"loss_b": loss_b, "loss_g": loss_g, "loss_f": loss_f}
+        ld = {"loss_b": loss_b, "loss_g": loss_g, "loss_f": loss_f}
+        if with_align and "proj_queries" in out:
+            ld["loss_contrastive_align"] = contrastive_align_loss(
+                out, assign, w_valid, temperature
+            )
+        return ld
 
-    losses = matched_losses(outputs)
+    losses = matched_losses(outputs, with_align=True)
 
     # hinge saliency (moment_detr.py:255-270)
     sal = outputs["saliency_scores"]
