@@ -118,3 +118,20 @@ def test_collate_static_shapes(corpus):
     # masks mark real rows
     lens = mi["src_vid_mask"].sum(1)
     assert (lens[:5] == [len(it["video_feat"]) for it in items]).all()
+
+
+def test_loader_propagates_dataset_errors(corpus):
+    from univtg_tpu.data.loader import Loader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom")
+            return {"x": np.zeros(3)}
+
+    loader = Loader(Broken(), 4, lambda items, pad_batch_to: items, num_threads=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)

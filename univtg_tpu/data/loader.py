@@ -78,13 +78,20 @@ class Loader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    pad_to = self.batch_size if self.pad_partial else None
-                    q.put(self.collate_fn(items, pad_batch_to=pad_to))
+            # always terminate the stream: a sentinel on success, the
+            # exception itself on failure (re-raised on the consumer side --
+            # a bare thread death would deadlock the consumer)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        pad_to = self.batch_size if self.pad_partial else None
+                        q.put(self.collate_fn(items, pad_batch_to=pad_to))
+            except BaseException as exc:  # noqa: BLE001
+                q.put(exc)
+                return
             q.put(None)
 
         worker = threading.Thread(target=produce, daemon=True)
@@ -94,6 +101,11 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
+            # drain so the producer is never blocked on a full queue
+            while not q.empty():
+                q.get_nowait()

@@ -90,12 +90,26 @@ def make_qfvs_train_step(model, optimizer, weights: LossWeights):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def _score_one(cfg, model, params, inputs, fuse_saliency: bool, fwd):
+def _output_mode(cfg: "QFVSTrainConfig") -> str:
+    """Score-head selection (train_qfvs.py:106-113): saliency-only when the
+    fg head is untrained, logits-only when saliency is untrained, else
+    ensemble if configured."""
+    if cfg.weights.f == 0:
+        return "saliency"
+    if cfg.weights.s_intra == 0:
+        return "logits"
+    return "ensemble" if cfg.data.score_ensemble else "logits"
+
+
+def _score_one(cfg, model, params, inputs, mode: str, fwd):
     outputs = fwd(params, inputs)
-    score = np.asarray(outputs["pred_logits"])[..., 0].reshape(-1)
-    if fuse_saliency:
-        score = score + np.asarray(outputs["saliency_scores"]).reshape(-1)
-    return score
+    logits = np.asarray(outputs["pred_logits"])[..., 0].reshape(-1)
+    sal = np.asarray(outputs["saliency_scores"]).reshape(-1)
+    if mode == "saliency":
+        return sal
+    if mode == "ensemble":
+        return logits + sal
+    return logits
 
 
 def eval_split(cfg: QFVSTrainConfig, model, params, test_video: int, videos_tag):
@@ -115,12 +129,13 @@ def eval_split(cfg: QFVSTrainConfig, model, params, test_video: int, videos_tag)
         item = dataset[[i for i, it in enumerate(dataset.items) if it[1] == c1 and it[2] == c2][0]]
         in1, in2, in_oracle, mask_flat = prepare_qfvs_batch(item, cfg.max_q_l)
 
-        score = _score_one(cfg, model, params, in_oracle, cfg.data.score_ensemble, fwd)
+        mode = _output_mode(cfg)
+        score = _score_one(cfg, model, params, in_oracle, mode, fwd)
         if cfg.data.score_gather:
             score = (
                 score
-                + _score_one(cfg, model, params, in1, cfg.data.score_ensemble, fwd)
-                + _score_one(cfg, model, params, in2, cfg.data.score_ensemble, fwd)
+                + _score_one(cfg, model, params, in1, mode, fwd)
+                + _score_one(cfg, model, params, in2, mode, fwd)
             )
         compact = score[mask_flat > 0]
         tags = videos_tag[test_video - 1]
