@@ -116,10 +116,19 @@ def build_everything(cfg: TrainConfig, steps_per_epoch: int):
 
 
 def train_mr(
-    cfg: TrainConfig, resume: Optional[str] = None, train_dataset=None
+    cfg: TrainConfig,
+    resume: Optional[str] = None,
+    train_dataset=None,
+    resume_all: bool = False,
 ) -> Tuple[dict, str]:
     """Returns (best_metrics, best_ckpt_path). `train_dataset` overrides the
-    MRDataset built from cfg.train_data (used by the VLP driver)."""
+    MRDataset built from cfg.train_data (used by the VLP driver).
+
+    resume semantics follow the reference (main/config.py:362-374): `resume`
+    alone loads weights only (pretraining -> downstream co-training);
+    `resume_all` additionally restores optimizer state and continues from
+    the saved epoch. resume='auto' picks up results_dir/model_latest.ckpt
+    with resume_all semantics (elastic restart)."""
     os.makedirs(cfg.results_dir, exist_ok=True)
     train_ds = train_dataset if train_dataset is not None else MRDataset(cfg.train_data)
     eval_ds = MRDataset(cfg.eval_data) if cfg.eval_data else None
@@ -142,11 +151,18 @@ def train_mr(
     )
     steps_per_epoch = len(train_loader)
     model, optimizer, state = build_everything(cfg, steps_per_epoch)
+    resume_epoch = None
     if resume == "auto":  # elastic restart: pick up the latest checkpoint
         latest = os.path.join(cfg.results_dir, "model_latest.ckpt")
         resume = latest if os.path.exists(latest) else None
+        resume_all = True
     if resume:
-        state, _ = ckpt.restore_checkpoint(resume, state)
+        if resume_all:
+            state, resume_epoch = ckpt.restore_checkpoint(resume, state)
+        else:  # weights only
+            state = state.replace(
+                params=ckpt.restore_params(resume, state.params)
+            )
     state = state.replace(params=replicate_params(mesh, state.params))
 
     if cfg.model_id == "moment_detr":
@@ -185,6 +201,8 @@ def train_mr(
     latest_path = os.path.join(cfg.results_dir, "model_latest.ckpt")
 
     start_epoch = -1 if cfg.eval_init else 0
+    if resume_epoch is not None:
+        start_epoch = resume_epoch + 1
     for epoch in range(start_epoch, cfg.n_epoch):
         if epoch > -1:
             train_loader.set_epoch(epoch)
