@@ -210,33 +210,74 @@ def _lsap_host(cost: np.ndarray, n_tgt: np.ndarray) -> np.ndarray:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _perm_table(num_queries: int, num_targets: int) -> np.ndarray:
+    """All injective target->query assignments: (P(Q,W), W) int32."""
+    import itertools
+
+    return np.asarray(
+        list(itertools.permutations(range(num_queries), num_targets)), np.int32
+    )
+
+
+def _match_exhaustive(cost, n_windows):
+    """Exact min-cost assignment by enumerating all P(Q, W) injective maps.
+
+    XLA-native (no host callback): feasible because moment grounding uses
+    tiny problems (Q=10 queries, <=5 GT windows -> 30240 candidates).
+    Padded target columns get constant-zero cost, so they absorb leftover
+    queries without influencing the optimum for the real targets.
+    """
+    B, Q, W = cost.shape
+    perms = jnp.asarray(_perm_table(Q, W))  # (P, W)
+    valid = (jnp.arange(W)[None, :] < n_windows[:, None]).astype(cost.dtype)
+    cost = cost * valid[:, None, :]  # (B, Q, W), padded cols -> 0
+    # total[b, p] = sum_j cost[b, perms[p, j], j]
+    gathered = cost[:, perms, jnp.arange(W)[None, :]]  # (B, P, W)
+    best = jnp.argmin(gathered.sum(-1), axis=1)  # (B,)
+    assign = perms[best]  # (B, W)
+    return jnp.where(valid > 0, assign, -1).astype(jnp.int32)
+
+
 def hungarian_match(outputs, span_labels, n_windows, cost_span=10.0, cost_giou=1.0,
-                    cost_class=4.0):
+                    cost_class=4.0, impl: str = "auto"):
     """Per-batch-item bipartite matching (model/matcher.py:36-100).
 
     Args:
       outputs: pred_logits (B, Q, 2) raw; pred_spans (B, Q, 2) cxw.
       span_labels: (B, Wmax, 2) normalized cxw windows (zero-padded).
       n_windows: (B,) valid window counts.
+      impl: 'exhaustive' (XLA-native enumeration, exact for Q,W small),
+        'callback' (host scipy LSAP), or 'auto' (exhaustive when the
+        permutation table is small -- required on TPU runtimes without host
+        callbacks -- else callback).
     Returns:
-      (B, Wmax) int32: matched query per window (-1 where padded). The LSAP
-      runs on host through pure_callback -- non-XLA, matching the reference's
-      scipy dependency (SURVEY.md 2.9).
+      (B, Wmax) int32: matched query per window (-1 where padded).
     """
     prob = jax.nn.softmax(outputs["pred_logits"], axis=-1)[..., 0]  # fg prob
     cost_cls = -prob[:, :, None]  # (B, Q, 1) broadcast over targets
     l1 = jnp.abs(outputs["pred_spans"][:, :, None, :] - span_labels[:, None, :, :]).sum(-1)
     giou = giou_cross(cxw_to_xx(outputs["pred_spans"]), cxw_to_xx(span_labels))
     cost = cost_span * l1 + cost_giou * (-giou) + cost_class * cost_cls
+    cost = jax.lax.stop_gradient(cost)  # non-differentiable routing decision
+    n_windows = jax.lax.stop_gradient(n_windows)
 
     B, Q, W = cost.shape
-    # the assignment is a non-differentiable routing decision (like the
-    # reference's @torch.no_grad matcher, model/matcher.py:36)
+    if impl == "auto":
+        import math
+
+        n_perms = math.perm(Q, W)
+        impl = "exhaustive" if n_perms <= 200_000 else "callback"
+    if impl == "exhaustive":
+        return _match_exhaustive(cost, n_windows)
     return jax.pure_callback(
         _lsap_host,
         jax.ShapeDtypeStruct((B, W), jnp.int32),
-        jax.lax.stop_gradient(cost),
-        jax.lax.stop_gradient(n_windows),
+        cost,
+        n_windows,
         vmap_method="sequential",
     )
 
