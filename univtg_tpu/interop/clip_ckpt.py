@@ -11,9 +11,10 @@ from univtg_tpu.extract.clip.model import CLIPConfig
 
 
 def _np(t):
+    # always copy (shared-storage hazard; see interop/torch_ckpt.py)
     if hasattr(t, "detach"):
-        t = t.detach().cpu().float().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().float().numpy().copy()
+    return np.array(t)
 
 
 def _block(sd, prefix):

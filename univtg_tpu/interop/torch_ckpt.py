@@ -15,9 +15,11 @@ import numpy as np
 
 
 def _np(t):
+    # always copy: torch .numpy() shares storage with the live tensor, so
+    # in-place torch updates would silently mutate the mapped params
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def _dense(sd, prefix):
