@@ -80,6 +80,83 @@ def qvhighlights_mr(
     return cfg
 
 
+def _downstream_mr(dset_name, data_root, results_dir, clip_len, main_metric,
+                   train_name="train.jsonl", val_name="val.jsonl", **kw):
+    """Shared downstream MR template (Charades-STA / Ego4D-NLQ / TACoS)."""
+    data = dict(
+        dset_name=dset_name,
+        v_feat_dirs=(f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"),
+        q_feat_dir=f"{data_root}/txt_clip",
+        v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
+        q_feat_dim=CLIP_DIM,
+        clip_len=clip_len,
+        max_q_l=32,
+        max_v_l=75,
+    )
+    cfg = TrainConfig(
+        model=flagship_model(),
+        train_data=MRDataConfig(data_path=f"{data_root}/metadata/{train_name}", **data),
+        eval_data=MRDataConfig(data_path=f"{data_root}/metadata/{val_name}", **data),
+        results_dir=results_dir,
+        bsz=32,
+        n_epoch=100,
+        lr=1e-4,
+        lr_drop=100,
+        lr_warmup=10,
+        weights=LossWeights(b=10, g=1, f=10, s_intra=0.1, s_inter=0.1),
+        eval_mode="add",
+        main_metric=main_metric,
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
+def charades_mr(data_root="data/charades", results_dir="results/mr-charades", **kw):
+    return _downstream_mr(
+        "charades", data_root, results_dir, clip_len=1.0,
+        main_metric="MR-full-R1@0.5",
+        train_name="charades_train.jsonl", val_name="charades_test.jsonl", **kw,
+    )
+
+
+def nlq_mr(data_root="data/ego4d", results_dir="results/mr-nlq", **kw):
+    return _downstream_mr(
+        "ego4d", data_root, results_dir, clip_len=2.0,
+        main_metric="MR-full-R1@0.3",
+        train_name="nlq_train.jsonl", val_name="nlq_val.jsonl", **kw,
+    )
+
+
+def tacos_mr(data_root="data/tacos", results_dir="results/mr-tacos", **kw):
+    return _downstream_mr(
+        "tacos", data_root, results_dir, clip_len=2.0,
+        main_metric="MR-full-R1@0.3", **kw,
+    )
+
+
+def youtube_hl(
+    data_root: str = "data/youtube", results_dir: str = "results/hl-youtube", **kw
+) -> HLTrainConfig:
+    cfg = HLTrainConfig(
+        model=flagship_model(vid_dim=SLOWFAST_DIM + CLIP_DIM + TEF_DIM),
+        data=HLDataConfig(
+            dset_name="youtube",
+            anno_path=f"{data_root}/youtube_anno.json",
+            v_feat_dirs=(f"{data_root}/vid_slowfast", f"{data_root}/vid_clip"),
+            q_feat_dir=f"{data_root}/txt_clip",
+        ),
+        results_dir=results_dir,
+        bsz=4,
+        n_epoch=200,
+        lr=1e-4,
+        weights=LossWeights(b=0, g=0, f=10, s_intra=0.1, s_inter=0.1),
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
 def tvsum_hl(
     data_root: str = "data/tvsum", results_dir: str = "results/hl-tvsum", **kw
 ) -> HLTrainConfig:
@@ -196,7 +273,11 @@ def _replace(cfg, key, value):
 
 PRESETS = {
     "qvhighlights_mr": qvhighlights_mr,
+    "charades_mr": charades_mr,
+    "nlq_mr": nlq_mr,
+    "tacos_mr": tacos_mr,
     "tvsum_hl": tvsum_hl,
+    "youtube_hl": youtube_hl,
     "qfvs": qfvs,
     "vlp_pretrain": vlp_pretrain,
 }
