@@ -259,6 +259,71 @@ def vlp_pretrain(
     return cfg
 
 
+def cotrain(
+    data_root: str = "data", results_dir: str = "results/cotrain",
+    resume: str = "", **kw,
+):
+    """Multi-corpus downstream co-training (scripts/cotrain.sh: 6 corpora,
+    100 epochs, resume from pretraining). Corpus types follow vlp_mapping
+    (main/dataset.py:77-96): qvhighlights=curve, the rest=interval."""
+    from univtg_tpu.data.vlp import VLPCorpusSpec, VLPDataConfig
+    from univtg_tpu.train.driver_vlp import VLPTrainConfig
+
+    def corpus(dset, jsonl, ftype, clip_len=2.0):
+        return VLPCorpusSpec(
+            data_path=f"{data_root}/{dset}/metadata/{jsonl}",
+            dset_name=dset,
+            v_feat_dirs=(
+                f"{data_root}/{dset}/vid_slowfast",
+                f"{data_root}/{dset}/vid_clip",
+            ),
+            q_feat_dir=f"{data_root}/{dset}/txt_clip",
+            type=ftype,
+            clip_len=clip_len,
+        )
+
+    cfg = VLPTrainConfig(
+        model=flagship_model(),
+        vlp_data=VLPDataConfig(
+            corpora=(
+                corpus("qvhighlights", "qvhighlights_train.jsonl", "curve"),
+                corpus("charades", "charades_train.jsonl", "interval", 1.0),
+                corpus("ego4d", "nlq_train.jsonl", "interval"),
+                corpus("tacos", "train.jsonl", "interval"),
+                corpus("anet", "train.jsonl", "interval"),
+                corpus("didemo", "train.jsonl", "interval"),
+            ),
+            v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
+            q_feat_dim=CLIP_DIM,
+            txt_drop_ratio=0.1,
+        ),
+        train_data=None,
+        eval_data=MRDataConfig(
+            dset_name="qvhighlights",
+            data_path=f"{data_root}/qvhighlights/metadata/qvhighlights_val.jsonl",
+            v_feat_dirs=(
+                f"{data_root}/qvhighlights/vid_slowfast",
+                f"{data_root}/qvhighlights/vid_clip",
+            ),
+            q_feat_dir=f"{data_root}/qvhighlights/txt_clip",
+            v_feat_dim=SLOWFAST_DIM + CLIP_DIM,
+            q_feat_dim=CLIP_DIM,
+        ),
+        results_dir=results_dir,
+        bsz=64,
+        n_epoch=100,
+        lr=1e-4,
+        lr_warmup=1,
+        lr_drop=200,
+        weights=LossWeights(b=10, g=1, f=10, s_intra=0.1, s_inter=0.1),
+        eval_mode="add",
+        max_es_cnt=-1,
+    )
+    for k, v in kw.items():
+        cfg = _replace(cfg, k, v)
+    return cfg
+
+
 def _replace(cfg, key, value):
     import dataclasses
 
@@ -280,4 +345,5 @@ PRESETS = {
     "youtube_hl": youtube_hl,
     "qfvs": qfvs,
     "vlp_pretrain": vlp_pretrain,
+    "cotrain": cotrain,
 }
