@@ -229,3 +229,86 @@ def test_contrastive_align_in_model_losses(batch):
     losses = moment_detr_losses(out, targets)
     assert "loss_contrastive_align" in losses
     assert np.isfinite(float(losses["loss_contrastive_align"]))
+
+
+def test_ce_span_type_matcher_and_losses():
+    """'ce' start/end-classification spans: matcher parity vs the reference
+    ce cost branch and CE loss vs the reference criterion."""
+    from model.moment_detr import SetCriterion as RefCrit
+
+    rng = np.random.default_rng(21)
+    B, Q, L, Wmax = 2, 6, 12, 3
+    logits = rng.standard_normal((B, Q, 2)).astype(np.float32)
+    span_logits = rng.standard_normal((B, Q, 2 * L)).astype(np.float32)
+    n_windows = np.array([2, 1], np.int32)
+    tgt = np.zeros((B, Wmax, 2), np.float32)
+    tgt[0, :2] = [[1, 4], [6, 10]]
+    tgt[1, :1] = [[3, 7]]
+
+    ref_matcher = RefMatcher(
+        cost_class=4, cost_span=10, cost_giou=1, span_loss_type="ce", max_v_l=L
+    )
+    ref_out = ref_matcher(
+        {
+            "pred_logits": torch.from_numpy(logits),
+            "pred_spans": torch.from_numpy(span_logits),
+        },
+        {
+            "span_labels": [
+                {"spans": torch.from_numpy(tgt[b, : n_windows[b]]).long()}
+                for b in range(B)
+            ]
+        },
+    )
+    got = np.asarray(
+        hungarian_match(
+            {
+                "pred_logits": jnp.asarray(logits),
+                "pred_spans": jnp.asarray(span_logits),
+            },
+            jnp.asarray(tgt),
+            jnp.asarray(n_windows),
+            span_loss_type="ce",
+        )
+    )
+    for b in range(B):
+        src_idx, tgt_idx = ref_out[b]
+        want = np.full(Wmax, -1, np.int32)
+        want[tgt_idx.numpy()] = src_idx.numpy()
+        np.testing.assert_array_equal(got[b], want, err_msg=str(b))
+
+    # CE span loss parity on the matched pairs
+    crit = RefCrit(
+        matcher=ref_matcher, weight_dict={}, eos_coef=0.1,
+        losses=["spans"], temperature=0.07, span_loss_type="ce", max_v_l=L,
+    )
+    ref_ld = crit(
+        {
+            "pred_logits": torch.from_numpy(logits),
+            "pred_spans": torch.from_numpy(span_logits),
+        },
+        {
+            "span_labels": [
+                {"spans": torch.from_numpy(tgt[b, : n_windows[b]]).long()}
+                for b in range(B)
+            ]
+        },
+    )
+    targets = {
+        "span_labels": jnp.asarray(tgt),
+        "n_windows": jnp.asarray(n_windows),
+        "saliency_pos_labels": jnp.asarray([[0], [0]], jnp.int32),
+        "saliency_neg_labels": jnp.asarray([[1], [1]], jnp.int32),
+    }
+    got_ld = moment_detr_losses(
+        {
+            "pred_logits": jnp.asarray(logits),
+            "pred_spans": jnp.asarray(span_logits),
+            "saliency_scores": jnp.zeros((B, L)),
+        },
+        targets,
+        span_loss_type="ce",
+        aux=False,
+    )
+    assert float(got_ld["loss_b"]) == pytest.approx(float(ref_ld["loss_b"]), abs=1e-5)
+    assert float(got_ld["loss_g"]) == 0.0

@@ -70,3 +70,62 @@ def test_moment_detr_training(corpus, tmp_path):
     # submission rows carry num_queries windows
     rows = [json.loads(l) for l in open(os.path.join(cfg.results_dir, "latest_val_preds.jsonl"))]
     assert len(rows[0]["pred_relevant_windows"]) == 6
+
+
+def test_moment_detr_ce_training(corpus, tmp_path):
+    """'ce' span type end-to-end: integer span labels, CE matching/losses,
+    absolute-seconds decode."""
+    model = MomentDETRConfig(
+        vid_dim=corpus["v_dim"] + 2,
+        txt_dim=corpus["q_dim"],
+        hidden_dim=48,
+        num_layers=1,
+        num_heads=4,
+        ffn_dim=64,
+        num_queries=5,
+        num_decoder_layers=1,
+        input_dropout=0.1,
+        max_v_l=corpus["max_clips"],
+        max_q_l=10,
+        aux_loss=False,
+        span_loss_type="ce",
+    )
+    data_kw = dict(
+        dset_name="qvhighlights",
+        v_feat_dirs=corpus["v_feat_dirs"],
+        q_feat_dir=corpus["q_feat_dir"],
+        q_feat_dim=corpus["q_dim"],
+        v_feat_dim=corpus["v_dim"],
+        clip_len=corpus["clip_len"],
+        max_q_l=10,
+        max_v_l=corpus["max_clips"],
+        span_loss_type="ce",
+    )
+    cfg = TrainConfig(
+        model=model,
+        model_id="moment_detr",
+        train_data=MRDataConfig(data_path=corpus["train_path"], **data_kw),
+        eval_data=MRDataConfig(data_path=corpus["val_path"], **data_kw),
+        results_dir=str(tmp_path / "ce_run"),
+        bsz=8,
+        eval_bsz=8,
+        n_epoch=1,
+        eval_epoch=1,
+        lr=3e-4,
+        lr_warmup=1,
+        save_interval=-1,
+        dp=1,
+        tp=1,
+        weights=LossWeights(b=10, g=1, f=4, s_intra=1.0, s_inter=0.0),
+        eval_mode=None,
+    )
+    metrics, best = train_mr(cfg)
+    assert "MR-full-mAP-key" in metrics["brief"]
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.results_dir, "latest_val_preds.jsonl"))
+    ]
+    # ce decode: window boundaries are clip multiples within the video
+    for st, ed, score in rows[0]["pred_relevant_windows"]:
+        assert st % corpus["clip_len"] == 0 and ed % corpus["clip_len"] == 0
+        assert 0 <= st <= ed

@@ -48,6 +48,7 @@ class MRDataConfig:
     normalize_t: bool = True
     load_labels: bool = True
     max_windows: int = 5
+    span_loss_type: str = "l1"  # l1 (cxw regression) | ce (st/ed indices)
     txt_drop_ratio: float = 0.0
     data_ratio: float = 1.0
     add_easy_negative: int = 1
@@ -285,13 +286,25 @@ class MRDataset:
         return item
 
     def _span_labels(self, windows, ctx_l, rng):
-        """Normalized cxw span labels, at most max_windows
-        (main/dataset.py:624-642)."""
+        """Span labels, at most max_windows (main/dataset.py:624-642):
+        l1 -> normalized (center, width) floats; ce -> inclusive
+        (start_clip, end_clip) integer indices."""
         cfg = self.cfg
         windows = list(windows)
         if len(windows) > cfg.max_windows:
             rng.shuffle(windows)
             windows = windows[: cfg.max_windows]
+        if cfg.span_loss_type == "ce":
+            return np.asarray(
+                [
+                    [
+                        int(w[0] / cfg.clip_len),
+                        min(int(w[1] / cfg.clip_len), ctx_l) - 1,
+                    ]
+                    for w in windows
+                ],
+                np.int32,
+            )
         w = np.asarray(windows, np.float32) / (ctx_l * cfg.clip_len)
         center = w.mean(axis=1)
         width = w[:, 1] - w[:, 0]

@@ -243,12 +243,14 @@ def _match_exhaustive(cost, n_windows):
 
 
 def hungarian_match(outputs, span_labels, n_windows, cost_span=10.0, cost_giou=1.0,
-                    cost_class=4.0, impl: str = "auto"):
+                    cost_class=4.0, impl: str = "auto", span_loss_type: str = "l1"):
     """Per-batch-item bipartite matching (model/matcher.py:36-100).
 
     Args:
-      outputs: pred_logits (B, Q, 2) raw; pred_spans (B, Q, 2) cxw.
-      span_labels: (B, Wmax, 2) normalized cxw windows (zero-padded).
+      outputs: pred_logits (B, Q, 2) raw; pred_spans (B, Q, 2) cxw for 'l1'
+        or (B, Q, 2*max_v_l) st/ed logits for 'ce'.
+      span_labels: (B, Wmax, 2): normalized cxw floats ('l1') or inclusive
+        (st, ed) clip indices ('ce'); zero-padded.
       n_windows: (B,) valid window counts.
       impl: 'exhaustive' (XLA-native enumeration, exact for Q,W small),
         'callback' (host scipy LSAP), or 'auto' (exhaustive when the
@@ -259,9 +261,27 @@ def hungarian_match(outputs, span_labels, n_windows, cost_span=10.0, cost_giou=1
     """
     prob = jax.nn.softmax(outputs["pred_logits"], axis=-1)[..., 0]  # fg prob
     cost_cls = -prob[:, :, None]  # (B, Q, 1) broadcast over targets
-    l1 = jnp.abs(outputs["pred_spans"][:, :, None, :] - span_labels[:, None, :, :]).sum(-1)
-    giou = giou_cross(cxw_to_xx(outputs["pred_spans"]), cxw_to_xx(span_labels))
-    cost = cost_span * l1 + cost_giou * (-giou) + cost_class * cost_cls
+    if span_loss_type == "ce":
+        B, Q, twoL = outputs["pred_spans"].shape
+        L = twoL // 2
+        sp = jax.nn.softmax(
+            outputs["pred_spans"].reshape(B, Q, 2, L), axis=-1
+        )  # (B, Q, 2, L)
+        idx = span_labels.astype(jnp.int32)  # (B, Wmax, 2)
+        # cost = -p_st[tgt_st] - p_ed[tgt_ed] (model/matcher.py:82-85)
+        p_st = jnp.take_along_axis(
+            sp[:, :, 0, :][:, :, None, :], idx[:, None, :, 0:1], axis=-1
+        )[..., 0]
+        p_ed = jnp.take_along_axis(
+            sp[:, :, 1, :][:, :, None, :], idx[:, None, :, 1:2], axis=-1
+        )[..., 0]
+        cost = cost_span * (-p_st - p_ed) + cost_class * cost_cls
+    else:
+        l1 = jnp.abs(
+            outputs["pred_spans"][:, :, None, :] - span_labels[:, None, :, :]
+        ).sum(-1)
+        giou = giou_cross(cxw_to_xx(outputs["pred_spans"]), cxw_to_xx(span_labels))
+        cost = cost_span * l1 + cost_giou * (-giou) + cost_class * cost_cls
     cost = jax.lax.stop_gradient(cost)  # non-differentiable routing decision
     n_windows = jax.lax.stop_gradient(n_windows)
 
@@ -313,11 +333,12 @@ def moment_detr_losses(
     saliency_margin=0.2,
     temperature=0.07,
     aux=True,
+    span_loss_type: str = "l1",
 ):
     """DETR-style matched losses (model/moment_detr.py:165-360).
 
-    targets: span_labels (B, Wmax, 2) cxw, n_windows (B,),
-             saliency_pos/neg_labels (B, P).
+    targets: span_labels (B, Wmax, 2) -- cxw floats ('l1') or st/ed clip
+    indices ('ce'); n_windows (B,); saliency_pos/neg_labels (B, P).
     """
     span_labels = targets["span_labels"]
     n_windows = targets["n_windows"]
@@ -325,16 +346,28 @@ def moment_detr_losses(
     w_valid = (jnp.arange(Wmax)[None, :] < n_windows[:, None]).astype(jnp.float32)
 
     def matched_losses(out, with_align=False):
-        assign = hungarian_match(out, span_labels, n_windows)  # (B, Wmax)
+        assign = hungarian_match(
+            out, span_labels, n_windows, span_loss_type=span_loss_type
+        )  # (B, Wmax)
         safe_assign = jnp.maximum(assign, 0)
         pred = jnp.take_along_axis(
             out["pred_spans"], safe_assign[..., None], axis=1
-        )  # (B, Wmax, 2)
-        l1 = jnp.abs(pred - span_labels).sum(-1)
-        giou = giou_paired(cxw_to_xx(pred), cxw_to_xx(span_labels))
+        )  # (B, Wmax, 2) or (B, Wmax, 2L)
         denom = jnp.maximum(w_valid.sum(), 1.0)
-        loss_b = (l1 * w_valid).sum() / denom
-        loss_g = ((1.0 - giou) * w_valid).sum() / denom
+        if span_loss_type == "ce":
+            # start/end classification over clip indices
+            # (model/moment_detr.py:215-227); no GIoU term
+            L = pred.shape[-1] // 2
+            logp = jax.nn.log_softmax(pred.reshape(B, Wmax, 2, L), axis=-1)
+            idx = span_labels.astype(jnp.int32)[..., None]  # (B, Wmax, 2, 1)
+            ce = -jnp.take_along_axis(logp, idx, axis=-1)[..., 0]  # (B, Wmax, 2)
+            loss_b = (ce * w_valid[..., None]).sum() / (denom * 2)
+            loss_g = jnp.zeros(())
+        else:
+            l1 = jnp.abs(pred - span_labels).sum(-1)
+            giou = giou_paired(cxw_to_xx(pred), cxw_to_xx(span_labels))
+            loss_b = (l1 * w_valid).sum() / denom
+            loss_g = ((1.0 - giou) * w_valid).sum() / denom
 
         # per-query CE: matched queries are foreground (class 0)
         Q = out["pred_logits"].shape[1]

@@ -169,9 +169,18 @@ def train_mr(
         from univtg_tpu.train.steps import make_md_eval_step, make_md_train_step
 
         train_step = make_md_train_step(
-            model, optimizer, cfg.weights, cfg.weights.eos_coef, cfg.saliency_margin
+            model,
+            optimizer,
+            cfg.weights,
+            cfg.weights.eos_coef,
+            cfg.saliency_margin,
+            span_loss_type=cfg.model.span_loss_type,
         )
-        eval_step = make_md_eval_step(model)
+        eval_step = make_md_eval_step(
+            model,
+            span_loss_type=cfg.model.span_loss_type,
+            clip_length=cfg.eval_data.clip_len if cfg.eval_data else 2.0,
+        )
     else:
         train_step = make_train_step(
             model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates

@@ -27,11 +27,13 @@ def decode_batch(dev_out, meta, no_sort_results=False):
     spans = np.asarray(dev_out["spans"])
     saliency = np.asarray(dev_out["saliency"])
     valid_len = np.asarray(dev_out["valid_len"])
+    # 'ce' decode emits absolute seconds; 'l1' emits duration-normalized
+    absolute = bool(np.asarray(dev_out.get("absolute_spans", False)))
 
     rows = []
     for i, m in enumerate(meta):
         dur = float(m["duration"])
-        sp = np.clip(spans[i] * dur, 0, dur)
+        sp = np.clip(spans[i] if absolute else spans[i] * dur, 0, dur)
         sc = scores[i]
         ranked = np.concatenate([sp, sc[:, None]], axis=1)
         if not no_sort_results:

@@ -155,7 +155,7 @@ def stack_batches(batches):
 
 
 def make_md_train_step(model, optimizer, weights, eos_coef=0.1, saliency_margin=0.2,
-                       donate: bool = True):
+                       donate: bool = True, span_loss_type: str = "l1"):
     """Moment-DETR train step: Hungarian matching + matched losses, aux
     decoder-layer terms weighted like their base losses
     (model/moment_detr.py weight_dict handling)."""
@@ -177,7 +177,11 @@ def make_md_train_step(model, optimizer, weights, eos_coef=0.1, saliency_margin=
                 rngs={"dropout": drop_rng, "droppath": path_rng},
             )
             ld = moment_detr_losses(
-                outputs, targets, eos_coef=eos_coef, saliency_margin=saliency_margin
+                outputs,
+                targets,
+                eos_coef=eos_coef,
+                saliency_margin=saliency_margin,
+                span_loss_type=span_loss_type,
             )
             total = sum(
                 wd.get(re.sub(r"_\d+$", "", k), 0.0) * v for k, v in ld.items()
@@ -196,22 +200,34 @@ def make_md_train_step(model, optimizer, weights, eos_coef=0.1, saliency_margin=
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_md_eval_step(model):
-    """Moment-DETR decode: per-query softmax fg prob + cxw->xx spans
-    (main/inference_mr.py:109-115, 149-150)."""
+def make_md_eval_step(model, span_loss_type: str = "l1", clip_length: float = 2.0):
+    """Moment-DETR decode (main/inference_mr.py:109-115, 137-150):
+    'l1' -> per-query softmax fg prob + cxw->xx normalized spans;
+    'ce' -> argmax start/end clip indices -> absolute seconds, scores =
+    product of the st/ed probabilities."""
     from univtg_tpu.core.spans import cxw_to_xx
 
     def step(params, model_inputs, targets):
         outputs = forward(model, params, model_inputs, train=False)
-        prob = jax.nn.softmax(outputs["pred_logits"], axis=-1)[..., 0]  # (B, Q)
-        spans = cxw_to_xx(outputs["pred_spans"])  # (B, Q, 2) normalized
         saliency = outputs["saliency_scores"].astype(jnp.float16).astype(jnp.float32)
         mask = model_inputs["src_vid_mask"]
+        if span_loss_type == "ce":
+            B, Q, twoL = outputs["pred_spans"].shape
+            L = twoL // 2
+            sp = jax.nn.softmax(outputs["pred_spans"].reshape(B, Q, 2, L), axis=-1)
+            scores = jnp.prod(jnp.max(sp, axis=-1), axis=-1)  # (B, Q)
+            idx = jnp.argmax(sp, axis=-1).astype(jnp.float32)  # (B, Q, 2)
+            # end index is inclusive -> +1 clip; absolute seconds
+            spans = (idx + jnp.asarray([0.0, 1.0])) * clip_length
+        else:
+            scores = jax.nn.softmax(outputs["pred_logits"], axis=-1)[..., 0]
+            spans = cxw_to_xx(outputs["pred_spans"])  # normalized
         return {
-            "scores": prob,
+            "scores": scores,
             "spans": spans,
             "saliency": saliency,
             "valid_len": mask.sum(axis=1).astype(jnp.int32),
+            "absolute_spans": jnp.asarray(span_loss_type == "ce"),
         }
 
     return jax.jit(step)
