@@ -2,6 +2,7 @@
 model scales past max_v_l=75 with bucketed lengths."""
 import numpy as np
 import jax
+import pytest
 
 from univtg_tpu.models import ModelConfig, UniVTG
 from univtg_tpu.ops.attention import resolve_impl
@@ -31,3 +32,36 @@ def test_long_video_forward():
     assert np.isfinite(np.asarray(out["pred_spans"])).all()
     # masked positions contribute ~0 scores
     assert np.allclose(np.asarray(out["pred_logits"])[1, 700:, 0], 0.5, atol=1e-6) or True
+
+
+def test_remat_forward_and_grad_match():
+    """jax.checkpoint layers: identical forward and gradients, less live
+    memory in the backward pass."""
+    import jax.numpy as jnp
+
+    base = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=48, num_layers=2, num_heads=4,
+        ffn_dim=64, dropout=0.0, droppath=0.0, input_dropout=0.0,
+        max_v_l=16, max_q_l=6,
+    )
+    remat_cfg = ModelConfig(**{**base.__dict__, "remat": True})
+    rng = np.random.default_rng(0)
+    B, Lv, Lt = 2, 16, 6
+    txt = rng.standard_normal((B, Lt, 16)).astype(np.float32)
+    vid = rng.standard_normal((B, Lv, 34)).astype(np.float32)
+    tm, vm = np.ones((B, Lt), np.float32), np.ones((B, Lv), np.float32)
+
+    m0, m1 = UniVTG(base), UniVTG(remat_cfg)
+    params = m0.init(jax.random.PRNGKey(0), txt, tm, vid, vm, train=False)["params"]
+
+    def loss(model):
+        def f(p):
+            out = model.apply({"params": p}, txt, tm, vid, vm, train=True)
+            return out["saliency_scores"].sum() + out["pred_spans"].sum()
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -41,6 +41,9 @@ class ModelConfig:
     # sequence-parallel activation sharding between encoder layers (needs an
     # active jax.set_mesh context with a "tp" axis; no-op otherwise)
     seq_shard: bool = False
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for activation memory on long-video batches
+    remat: bool = False
 
     @property
     def dtype(self):

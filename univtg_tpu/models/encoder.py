@@ -105,6 +105,7 @@ class Encoder(nn.Module):
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
     seq_shard: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
@@ -112,7 +113,7 @@ class Encoder(nn.Module):
             from univtg_tpu.parallel.mesh import seq_constraint
 
         for i in range(self.num_layers):
-            x = EncoderLayer(
+            layer = EncoderLayer(
                 self.dim,
                 self.num_heads,
                 self.ffn_dim,
@@ -122,7 +123,15 @@ class Encoder(nn.Module):
                 self.attention_impl,
                 self.dtype,
                 name=f"layers_{i}",
-            )(x, key_padding_mask, pos, train=train)
+            )
+            if self.remat:
+                # jax.checkpoint per layer: activations recomputed in the
+                # backward pass (train captured statically in the closure)
+                x = nn.remat(
+                    lambda mdl, h, kpm, p: mdl(h, kpm, p, train=train)
+                )(layer, x, key_padding_mask, pos)
+            else:
+                x = layer(x, key_padding_mask, pos, train=train)
             if self.seq_shard:
                 x = seq_constraint(x)
         if self.pre_norm:

@@ -88,6 +88,7 @@ class UniVTG(nn.Module):
             cfg.attention_impl,
             dtype,
             cfg.seq_shard,
+            cfg.remat,
             name="encoder",
         )(src, mask, pos, train=train)
         # Mask the conv heads at every layer: stacked k=3 convs have a +-3
