@@ -45,3 +45,33 @@ def test_ring_no_mask():
     want = sdpa_xla(q, k, v, None, H)
     got = ring_attention(q, k, v, None, num_heads=H, mesh=mesh, axis="tp")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ring_impl_in_encoder():
+    """attention_impl='ring' through the full model under jax.set_mesh."""
+    from univtg_tpu.models import ModelConfig, UniVTG
+
+    base = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=32, num_layers=1, num_heads=4,
+        ffn_dim=48, max_v_l=28, max_q_l=4,
+    )
+    ring_cfg = ModelConfig(**{**base.__dict__, "attention_impl": "ring"})
+    rng = np.random.default_rng(2)
+    B, Lv, Lt = 2, 28, 4  # Lv+Lt = 32 tiles over tp=4
+    txt = rng.standard_normal((B, Lt, 16)).astype(np.float32)
+    vid = rng.standard_normal((B, Lv, 34)).astype(np.float32)
+    tm, vm = np.ones((B, Lt), np.float32), np.ones((B, Lv), np.float32)
+
+    m0 = UniVTG(base)
+    params = m0.init(jax.random.PRNGKey(0), txt, tm, vid, vm, train=False)["params"]
+    want = m0.apply({"params": params}, txt, tm, vid, vm, train=False)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with jax.set_mesh(mesh):
+        got = jax.jit(
+            lambda p: UniVTG(ring_cfg).apply({"params": p}, txt, tm, vid, vm, train=False)
+        )(params)
+    for key in ("pred_logits", "saliency_scores"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), atol=3e-5, err_msg=key
+        )

@@ -98,7 +98,18 @@ def multihead_attention(
     k = k_in @ in_proj_kernel[:, D : 2 * D] + in_proj_bias[D : 2 * D]
     v = v_in @ in_proj_kernel[:, 2 * D :] + in_proj_bias[2 * D :]
 
-    if impl == "pallas":
+    if impl == "ring":
+        # context-parallel: requires an active jax.set_mesh with a "tp"
+        # axis and sequence lengths tiling over it
+        import jax as _jax
+
+        from univtg_tpu.ops.ring_attention import ring_attention
+
+        mesh = _jax.sharding.get_abstract_mesh()
+        out = ring_attention(
+            q, k, v, key_padding_mask, num_heads=num_heads, mesh=mesh, axis="tp"
+        )
+    elif impl == "pallas":
         from univtg_tpu.ops.pallas_attention import flash_attention
 
         out = flash_attention(q, k, v, key_padding_mask, num_heads=num_heads)
