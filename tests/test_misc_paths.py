@@ -107,3 +107,18 @@ def test_test_split_submission_flow(tmp_path):
         "hl_val_submission.jsonl",
         "hl_test_submission.jsonl",
     ]
+
+
+def test_tensorboard_events_written(tmp_path):
+    from tests.test_train_e2e import make_cfg
+
+    corpus = create_synthetic_mr_corpus(str(tmp_path / "tbc"), n_train=16, n_val=6, seed=13)
+    cfg = make_cfg(corpus, str(tmp_path / "run"), tensorboard_dir="auto")
+    from univtg_tpu.train.driver_mr import train_mr
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, n_epoch=1)
+    train_mr(cfg)
+    tb_dir = os.path.join(cfg.results_dir, "tb")
+    files = os.listdir(tb_dir)
+    assert any("tfevents" in f for f in files), files

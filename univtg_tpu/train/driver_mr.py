@@ -90,6 +90,9 @@ class TrainConfig:
     # >1: lax.scan K steps per device dispatch (amortizes dispatch latency;
     # univtg model only). Remainder batches run through the single step.
     scan_steps: int = 1
+    # optional TensorBoard scalar mirror of the jsonl logs ("" = off;
+    # "auto" = {results_dir}/tb)
+    tensorboard_dir: str = ""
 
 
 def _strip_meta(batch):
@@ -205,6 +208,13 @@ def train_mr(
     if cfg.shard_index == 0:
         snapshot_code(cfg.results_dir)
 
+    from univtg_tpu.utils.tb import TBWriter
+
+    tb_dir = cfg.tensorboard_dir
+    if tb_dir == "auto":
+        tb_dir = os.path.join(cfg.results_dir, "tb")
+    tb = TBWriter(tb_dir if cfg.shard_index == 0 else None)
+
     best_score, best_metrics, es_cnt = -np.inf, None, 0
     best_path = os.path.join(cfg.results_dir, "model_best.ckpt")
     latest_path = os.path.join(cfg.results_dir, "model_latest.ckpt")
@@ -275,6 +285,7 @@ def train_mr(
             }
             train_log.write(json.dumps(line) + "\n")
             train_log.flush()
+            tb.scalars(line, epoch, prefix="train/")
             logger.info(f"epoch {epoch}: {line}")
 
         is_main = cfg.shard_index == 0  # rank-0-only eval/ckpt (SURVEY.md 3.3)
@@ -282,6 +293,7 @@ def train_mr(
             metrics = _eval_once(cfg, model, state, eval_ds, eval_step, epoch)
             eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
             eval_log.flush()
+            tb.scalars(metrics["brief"], epoch, prefix="eval/")
             score = metrics["brief"].get(f"{cfg.main_metric}-key")
             if score is None:
                 score = metrics["brief"].get(cfg.main_metric)
@@ -307,6 +319,7 @@ def train_mr(
         best_metrics = {}
     train_log.close()
     eval_log.close()
+    tb.close()
     return best_metrics, best_path
 
 
