@@ -122,3 +122,16 @@ def test_tensorboard_events_written(tmp_path):
     tb_dir = os.path.join(cfg.results_dir, "tb")
     files = os.listdir(tb_dir)
     assert any("tfevents" in f for f in files), files
+
+
+def test_bf16_transfer_dtype_driver(tmp_path):
+    from tests.test_train_e2e import make_cfg
+    from univtg_tpu.train.driver_mr import train_mr
+    import dataclasses
+
+    corpus = create_synthetic_mr_corpus(str(tmp_path / "bft"), n_train=16, n_val=6, seed=17)
+    cfg = make_cfg(corpus, str(tmp_path / "run"), transfer_dtype="bfloat16")
+    cfg = dataclasses.replace(cfg, n_epoch=1)
+    metrics, best = train_mr(cfg)
+    assert os.path.exists(best)
+    assert "MR-full-mAP-key" in metrics["brief"]

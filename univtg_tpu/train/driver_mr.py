@@ -93,10 +93,22 @@ class TrainConfig:
     # optional TensorBoard scalar mirror of the jsonl logs ("" = off;
     # "auto" = {results_dir}/tb)
     tensorboard_dir: str = ""
+    # dtype for host->device feature transfer ("bfloat16" halves input
+    # bandwidth; compute already runs in ModelConfig.compute_dtype)
+    transfer_dtype: str = "float32"
 
 
-def _strip_meta(batch):
-    return batch["model_inputs"], batch["targets"]
+def _strip_meta(batch, transfer_dtype: str = "float32"):
+    mi = batch["model_inputs"]
+    if transfer_dtype != "float32":
+        import ml_dtypes
+
+        dt = np.dtype(getattr(ml_dtypes, transfer_dtype, transfer_dtype))
+        mi = {
+            k: (v.astype(dt) if k in ("src_txt", "src_vid") else v)
+            for k, v in mi.items()
+        }
+    return mi, batch["targets"]
 
 
 def build_model(cfg: TrainConfig):
@@ -258,7 +270,7 @@ def train_mr(
                         pending = []
                         record(metrics, scalar=False)
                 for batch in pending:  # remainder through the single step
-                    model_inputs, targets = _strip_meta(batch)
+                    model_inputs, targets = _strip_meta(batch, cfg.transfer_dtype)
                     state, metrics = train_step(
                         state,
                         shard_batch(mesh, model_inputs),
@@ -269,7 +281,7 @@ def train_mr(
                     record(metrics)
             else:
                 for batch in train_loader:
-                    model_inputs, targets = _strip_meta(batch)
+                    model_inputs, targets = _strip_meta(batch, cfg.transfer_dtype)
                     model_inputs = shard_batch(mesh, model_inputs)
                     targets = shard_batch(mesh, targets)
                     state, metrics = train_step(state, model_inputs, targets, rng)
