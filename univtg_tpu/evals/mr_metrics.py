@@ -16,7 +16,7 @@ from collections import defaultdict
 
 import numpy as np
 
-from univtg_tpu.evals.ap import detection_ap, detection_ap_batch, _hull_free_iou_cross
+from univtg_tpu.evals.ap import detection_ap_batch, _hull_free_iou_cross
 
 
 def _r2(v) -> float:
