@@ -135,6 +135,20 @@ def tacos_mr(data_root="data/tacos", results_dir="results/mr-tacos", **kw):
     )
 
 
+def anet_mr(data_root="data/anet", results_dir="results/mr-anet", **kw):
+    return _downstream_mr(
+        "activitynet", data_root, results_dir, clip_len=2.0,
+        main_metric="MR-full-R1@0.5", **kw,
+    )
+
+
+def didemo_mr(data_root="data/didemo", results_dir="results/mr-didemo", **kw):
+    return _downstream_mr(
+        "didemo", data_root, results_dir, clip_len=2.0,
+        main_metric="MR-full-R1@0.5", **kw,
+    )
+
+
 def youtube_hl(
     data_root: str = "data/youtube", results_dir: str = "results/hl-youtube", **kw
 ) -> HLTrainConfig:
@@ -341,6 +355,8 @@ PRESETS = {
     "charades_mr": charades_mr,
     "nlq_mr": nlq_mr,
     "tacos_mr": tacos_mr,
+    "anet_mr": anet_mr,
+    "didemo_mr": didemo_mr,
     "tvsum_hl": tvsum_hl,
     "youtube_hl": youtube_hl,
     "qfvs": qfvs,
