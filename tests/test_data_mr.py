@@ -135,3 +135,38 @@ def test_loader_propagates_dataset_errors(corpus):
     loader = Loader(Broken(), 4, lambda items, pad_batch_to: items, num_threads=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_clip_len_one_semantics(tmp_path):
+    """Charades-style clip_len=1: timestamp grid, window densification, and
+    span normalization all scale by clip_len (dataset.py:501, 511, 634)."""
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+
+    corpus = create_synthetic_mr_corpus(
+        str(tmp_path / "c1"), n_train=6, n_val=2, clip_len=1.0, max_clips=40, seed=21
+    )
+    cfg = MRDataConfig(
+        dset_name="charades",
+        data_path=corpus["train_path"],
+        v_feat_dirs=corpus["v_feat_dirs"],
+        q_feat_dir=corpus["q_feat_dir"],
+        q_feat_dim=corpus["q_dim"],
+        v_feat_dim=corpus["v_dim"],
+        clip_len=1.0,
+        max_q_l=10,
+        max_v_l=40,
+    )
+    ds = MRDataset(cfg)
+    item = ds[0]
+    L = len(item["video_feat"])
+    # grid: (i + 0.5) / L at clip_len=1
+    np.testing.assert_allclose(item["timestamp"][:, 0], (np.arange(L) + 0.5) / L)
+    # densified window normalized by L * clip_len == duration
+    w = item["meta"]["relevant_windows"][0]
+    nz = np.flatnonzero(item["timestamp_window"])
+    inside = item["span_labels_nn"][nz[0]]
+    np.testing.assert_allclose(inside, np.asarray(w) / (L * 1.0), atol=1e-6)
+    # span labels cxw normalized by duration
+    cx, width = item["span_labels"][0]
+    assert cx == pytest.approx((w[0] + w[1]) / 2 / (L * 1.0), abs=1e-6)
+    assert width == pytest.approx((w[1] - w[0]) / (L * 1.0), abs=1e-6)
