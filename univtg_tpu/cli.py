@@ -176,6 +176,26 @@ def cmd_pack_h5(args):
     print(json.dumps(out, indent=1))
 
 
+def cmd_quantize(args):
+    """Convert a trained checkpoint into an int8 serving checkpoint."""
+    import jax
+
+    from univtg_tpu.serve.quantize import save_quantized
+    from univtg_tpu.train import checkpoint as ckpt
+    from univtg_tpu.train.steps import init_state, make_optimizer
+
+    cfg = _preset_cfg(args)
+    from univtg_tpu.train.driver_mr import build_model
+
+    model = build_model(cfg)
+    state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
+    params = ckpt.restore_params(args.resume, state.params)
+    save_quantized(args.out, params)
+    import os
+
+    print(f"wrote int8 checkpoint: {args.out} ({os.path.getsize(args.out)/1e6:.1f} MB)")
+
+
 def cmd_extract_text(args):
     """Offline query-feature dump (run_on_video/text_extractor.py)."""
     from univtg_tpu.data.features import load_jsonl
@@ -246,6 +266,12 @@ def build_parser():
     sp.add_argument("--v-feat-dirs", nargs="+", required=True)
     sp.add_argument("--q-feat-dir", required=True)
     sp.add_argument("--out-dir", required=True)
+
+    sp = add("quantize", cmd_quantize)
+    sp.add_argument("--preset", required=True)
+    sp.add_argument("--resume", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("overrides", nargs="*")
 
     sp = add("extract-text", cmd_extract_text)
     sp.add_argument("--metadata", required=True)
