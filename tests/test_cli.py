@@ -105,3 +105,55 @@ def test_cli_train_and_quantize_end_to_end(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-3000:]
     assert os.path.exists(q_out)
+
+
+def test_cli_infer_mr(tmp_path):
+    """infer-mr subprocess path: eval-only run from a fresh checkpoint."""
+    import os
+
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+
+    corpus = create_synthetic_mr_corpus(str(tmp_path / "c"), n_train=6, n_val=6, seed=29)
+    results = str(tmp_path / "run")
+    overrides = [
+        f"train_data.data_path={corpus['train_path']}",
+        f"eval_data.data_path={corpus['val_path']}",
+        f"train_data.v_feat_dirs=('{corpus['v_feat_dirs'][0]}',)",
+        f"eval_data.v_feat_dirs=('{corpus['v_feat_dirs'][0]}',)",
+        f"train_data.q_feat_dir={corpus['q_feat_dir']}",
+        f"eval_data.q_feat_dir={corpus['q_feat_dir']}",
+        f"train_data.q_feat_dim={corpus['q_dim']}",
+        f"eval_data.q_feat_dim={corpus['q_dim']}",
+        "train_data.max_q_l=10", "eval_data.max_q_l=10",
+        f"model.vid_dim={corpus['v_dim'] + 2}",
+        f"model.txt_dim={corpus['q_dim']}",
+        "model.hidden_dim=32", "model.num_layers=1", "model.num_heads=4",
+        "model.ffn_dim=48", "model.input_dropout=0.1",
+        f"results_dir={results}",
+        "bsz=6", "eval_bsz=6", "n_epoch=1", "eval_epoch=1", "lr_warmup=1",
+        "save_interval=-1", "dp=1", "nms_thd=-1.0",
+    ]
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/root",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    }
+    run = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "train-mr", "--preset", "qvhighlights_mr"]
+        + overrides,
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    best = os.path.join(results, "model_best.ckpt")
+
+    out_jsonl = str(tmp_path / "preds.jsonl")
+    run = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "infer-mr", "--preset",
+         "qvhighlights_mr", "--resume", best, "--out", out_jsonl] + overrides,
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    assert "MR-full-mAP-key" in run.stdout
+    rows = [json.loads(l) for l in open(out_jsonl)]
+    assert len(rows) == 6 and "pred_relevant_windows" in rows[0]
