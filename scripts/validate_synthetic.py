@@ -10,7 +10,11 @@ R1@0.5 / mIoU. Run on any backend:
 """
 import argparse
 import json
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from univtg_tpu.data.mr import MRDataConfig
 from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
