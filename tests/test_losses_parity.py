@@ -125,3 +125,26 @@ def test_losses_are_jittable_and_differentiable():
     g = jax.jit(jax.grad(total))({k: jnp.asarray(v) for k, v in outputs.items()})
     for k in ("pred_spans", "pred_logits", "vid_mem_proj", "txt_mem_proj"):
         assert np.isfinite(np.asarray(g[k])).all(), k
+
+
+def test_saturated_probs_have_finite_grads():
+    """sigmoid saturation to exactly 0/1 must not NaN the backward pass
+    (caught at flagship scale on TPU: losses finite, grad_norm NaN)."""
+    import jax
+
+    outputs, targets = make_batch(0)
+    j_tgt = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    probs = np.asarray(outputs["pred_logits"]).copy()
+    probs[0, :5] = 0.0  # exact saturation
+    probs[1, :5] = 1.0
+    outputs = dict(outputs, pred_logits=probs)
+
+    def total(outs):
+        return compute_losses(outs, j_tgt, LossWeights())["loss_overall"]
+
+    loss = total({k: jnp.asarray(v) for k, v in outputs.items()})
+    assert np.isfinite(float(loss))
+    g = jax.grad(total)({k: jnp.asarray(v) for k, v in outputs.items()})
+    for k, v in g.items():
+        assert np.isfinite(np.asarray(v)).all(), k

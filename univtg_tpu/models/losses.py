@@ -35,6 +35,20 @@ def _safe_div(num, den):
     return num / jnp.maximum(den, 1.0)
 
 
+# smallest normal f32: subnormals flush to zero on TPU, and log at an exact
+# zero makes the clipped-BCE *backward* emit 0 * inf = NaN once sigmoid
+# saturates (forward stays finite -- torch's fused BCE clamps its backward
+# too, at -100; log(1e-37) ~= -85 differs only for p < 1e-37)
+_BCE_FLOOR = 1e-37
+
+
+def _bce_logs(probs):
+    """NaN-safe (log p, log(1-p)) for probability-space BCE."""
+    logp = jnp.log(jnp.clip(probs, _BCE_FLOOR, 1.0))
+    log1mp = jnp.log(jnp.clip(1.0 - probs, _BCE_FLOOR, 1.0))
+    return logp, log1mp
+
+
 def loss_spans(outputs, targets, gates=None):
     """Boundary regression: smooth-L1 + GIoU on in-window clips
     (model/univtg.py:195-214)."""
@@ -63,9 +77,7 @@ def loss_labels(outputs, targets, eos_coef: float = 0.1, gates=None):
     valid = targets["timestamp_window"].astype(probs.dtype)
 
     weights = mask * eos_coef + valid * (1.0 - eos_coef)
-    # torch F.binary_cross_entropy clamps log terms at -100
-    logp = jnp.clip(jnp.log(jnp.maximum(probs, 0.0)), -100.0, None)
-    log1mp = jnp.clip(jnp.log(jnp.maximum(1.0 - probs, 0.0)), -100.0, None)
+    logp, log1mp = _bce_logs(probs)
     ce = -(valid * logp + (1.0 - valid) * log1mp) * weights
     if gates is not None:
         ce = ce * gates[:, None, 2]
@@ -180,8 +192,7 @@ def qfvs_losses(outputs, gt_grid, mask_flat):
     n_pos = gt.sum()
 
     # foreground BCE normalized by the positive count (univtg_qfvs.py:226-227)
-    logp = jnp.clip(jnp.log(jnp.maximum(probs, 0.0)), -100.0, None)
-    log1mp = jnp.clip(jnp.log(jnp.maximum(1.0 - probs, 0.0)), -100.0, None)
+    logp, log1mp = _bce_logs(probs)
     ce = -(gt * logp + (1.0 - gt) * log1mp) * mask
     loss_f = jnp.where(n_pos > 0, ce.sum() / jnp.maximum(n_pos, 1.0), 0.0)
 
