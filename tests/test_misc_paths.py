@@ -135,3 +135,18 @@ def test_bf16_transfer_dtype_driver(tmp_path):
     metrics, best = train_mr(cfg)
     assert os.path.exists(best)
     assert "MR-full-mAP-key" in metrics["brief"]
+
+
+def test_decode_sanitizes_nonfinite():
+    from univtg_tpu.train.infer_mr import decode_batch
+
+    dev_out = {
+        "scores": np.array([[np.nan, 0.5]]),
+        "spans": np.array([[[np.inf, -np.inf], [1.0, 3.0]]]),
+        "saliency": np.array([[np.nan, 0.2]]),
+        "valid_len": np.array([2]),
+    }
+    rows = decode_batch(dev_out, [{"qid": 1, "query": "q", "vid": "v", "duration": 10.0}])
+    flat = np.asarray(rows[0]["pred_relevant_windows"], np.float64)
+    assert np.isfinite(flat).all()
+    assert np.isfinite(rows[0]["pred_saliency_scores"]).all()

@@ -27,6 +27,18 @@ def decode_batch(dev_out, meta, no_sort_results=False):
     spans = np.asarray(dev_out["spans"])
     saliency = np.asarray(dev_out["saliency"])
     valid_len = np.asarray(dev_out["valid_len"])
+    # guard: a diverged model must score ~0, not exploit the evaluator's
+    # NaN-comparison quirk (NaN IoU silently counts as a true positive in
+    # the VOC loop -- the reference inherits the same quirk)
+    if not np.isfinite(spans).all() or not np.isfinite(scores).all():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "non-finite predictions in decode; sanitizing to zeros"
+        )
+        spans = np.nan_to_num(spans, nan=0.0, posinf=0.0, neginf=0.0)
+        scores = np.nan_to_num(scores, nan=0.0, posinf=0.0, neginf=0.0)
+        saliency = np.nan_to_num(saliency, nan=0.0, posinf=0.0, neginf=0.0)
     # 'ce' decode emits absolute seconds; 'l1' emits duration-normalized
     absolute = bool(np.asarray(dev_out.get("absolute_spans", False)))
 
