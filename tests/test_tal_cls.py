@@ -1,0 +1,96 @@
+"""TAL-style class-feature pretraining path: src_cls through the model,
+saliency_cls loss with cls_idx targets, and the train step's static-input
+plumbing. (The reference's driver references an undefined
+train_dataset.src_cls -- main/train_vlp.py:118 -- so this path only
+*works* here.)"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.models.losses import LossWeights, compute_losses, loss_saliency_cls
+from univtg_tpu.train.steps import init_state, make_train_step
+
+from tests.test_spmd_equivalence import make_batch
+
+
+CFG = ModelConfig(
+    vid_dim=34, txt_dim=16, hidden_dim=48, num_layers=1, num_heads=4,
+    ffn_dim=64, dropout=0.0, droppath=0.0, input_dropout=0.0,
+    max_v_l=16, max_q_l=6,
+)
+
+
+def make_cls_bank(C=5, Lc=3, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((C, Lc, D)).astype(np.float32),
+        np.ones((C, Lc), np.float32),
+    )
+
+
+def test_model_emits_cls_mem_proj():
+    model = UniVTG(CFG)
+    mi, tg = make_batch(B=4)
+    cls, cls_mask = make_cls_bank()
+    params = model.init(
+        jax.random.PRNGKey(0), mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+        mi["src_vid_mask"], cls, cls_mask, train=False,
+    )["params"]
+    out = model.apply(
+        {"params": params}, mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+        mi["src_vid_mask"], cls, cls_mask, train=False,
+    )
+    assert out["cls_mem_proj"].shape == (5, CFG.hidden_dim)
+
+
+def test_saliency_cls_loss_and_grads():
+    model = UniVTG(CFG)
+    mi, tg = make_batch(B=4)
+    cls, cls_mask = make_cls_bank()
+    params = model.init(
+        jax.random.PRNGKey(0), mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+        mi["src_vid_mask"], cls, cls_mask, train=False,
+    )["params"]
+    # one-hot class per sample over the 5-concept bank
+    cls_idx = np.zeros((4, 5), np.float32)
+    cls_idx[np.arange(4), [0, 2, 1, 4]] = 1
+    tg = dict(tg, cls_idx=cls_idx)
+
+    def total(p):
+        out = model.apply(
+            {"params": p}, mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+            mi["src_vid_mask"], cls, cls_mask, train=True,
+        )
+        ld = compute_losses(
+            out, {k: jnp.asarray(v) for k, v in tg.items()}, LossWeights(),
+            losses=("spans", "labels", "saliency_cls"),
+        )
+        return ld["loss_overall"], ld
+
+    (loss, ld), grads = jax.value_and_grad(total, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert "loss_s_intra" in ld  # the class-contrastive term
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_step_static_cls_inputs():
+    model = UniVTG(CFG)
+    optimizer = optax.sgd(1e-2)
+    cls, cls_mask = make_cls_bank()
+    state = init_state(model, CFG, optimizer, jax.random.PRNGKey(0))
+    # init with cls so weighted_pool params exist... shared pool: same params
+    step = make_train_step(
+        model, optimizer, LossWeights(),
+        losses=("spans", "labels", "saliency_cls"), donate=False,
+        static_inputs={"src_cls": jnp.asarray(cls), "src_cls_mask": jnp.asarray(cls_mask)},
+    )
+    mi, tg = make_batch(B=4)
+    cls_idx = np.zeros((4, 5), np.float32)
+    cls_idx[np.arange(4), [0, 2, 1, 4]] = 1
+    tg = dict(tg, cls_idx=cls_idx)
+    state, metrics = step(state, mi, tg, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_overall"]))
+    assert float(metrics["loss_s_intra"]) != 0.0

@@ -65,11 +65,19 @@ def make_train_step(
     losses: Sequence[str] = ("spans", "labels", "saliency"),
     use_gates: bool = False,
     donate: bool = True,
+    static_inputs=None,
 ):
-    """Returns jitted (state, model_inputs, targets, rng) -> (state, metrics)."""
+    """Returns jitted (state, model_inputs, targets, rng) -> (state, metrics).
+
+    static_inputs: extra model inputs constant across steps -- e.g. the
+    dataset-level class-feature bank {src_cls, src_cls_mask} for TAL-style
+    pretraining (the reference plumbs it per-epoch, main/train_vlp.py:116-119).
+    """
 
     def step(state: TrainState, model_inputs, targets, rng):
         drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        if static_inputs:
+            model_inputs = {**model_inputs, **static_inputs}
 
         def loss_fn(params):
             outputs = forward(
