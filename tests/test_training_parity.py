@@ -119,3 +119,113 @@ def test_sgd_loss_curves_match():
     a = np.asarray(params["encoder"]["layers_0"]["linear1"]["kernel"])
     b = np.asarray(mapped["encoder"]["layers_0"]["linear1"]["kernel"])
     np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_moment_detr_sgd_loss_curves_match():
+    """Coupled SGD for the DETR baseline: matched losses (Hungarian
+    assignment included) must track the reference step-for-step."""
+    from model.moment_detr import SetCriterion as MDCrit
+    from model.matcher import HungarianMatcher
+
+    from tests.test_moment_detr import CFG as MD_CFG, build_ref
+    from univtg_tpu.interop.torch_ckpt import md_params_from_torch_state_dict
+    from univtg_tpu.models.moment_detr import (
+        MomentDETR,
+        MomentDETRConfig,
+        moment_detr_losses,
+    )
+
+    cfg = MomentDETRConfig(
+        **{**MD_CFG.__dict__, "dropout": 0.0, "input_dropout": 0.0, "aux_loss": True}
+    )
+    ref = build_ref(cfg)
+    ref.train()
+    params = md_params_from_torch_state_dict(ref.state_dict(), cfg)["params"]
+    model = MomentDETR(cfg)
+
+    wd = {"loss_b": 10.0, "loss_g": 1.0, "loss_f": 4.0, "loss_s_intra": 1.0}
+    for i in range(cfg.num_decoder_layers - 1):
+        wd.update({f"loss_b_{i}": 10.0, f"loss_g_{i}": 1.0, f"loss_f_{i}": 4.0})
+    matcher = HungarianMatcher(
+        cost_class=4, cost_span=10, cost_giou=1, span_loss_type="l1", max_v_l=75
+    )
+    crit = MDCrit(
+        matcher=matcher, weight_dict=wd, eos_coef=0.1,
+        losses=["spans", "labels", "saliency"], temperature=0.07,
+        span_loss_type="l1", max_v_l=75, saliency_margin=0.2,
+    )
+    lr = 0.05
+    opt_t = torch.optim.SGD(ref.parameters(), lr=lr)
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+
+    import re
+
+    @jax.jit
+    def step(params, opt_state, mi, tg):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+                mi["src_vid_mask"], train=True,
+            )
+            ld = moment_detr_losses(out, tg, eos_coef=0.1, saliency_margin=0.2)
+            return sum(wd.get(re.sub(r"_\d+$", "", k) if k[-1].isdigit() else k, 0.0)
+                       * v for k, v in ld.items())
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    B, Lv, Lt = 3, cfg.max_v_l, 8
+    t_losses, j_losses = [], []
+    for i in range(4):
+        rng = np.random.default_rng(200 + i)
+        vid = rng.standard_normal((B, Lv, cfg.vid_dim)).astype(np.float32)
+        txt = rng.standard_normal((B, Lt, cfg.txt_dim)).astype(np.float32)
+        vm = np.ones((B, Lv), np.float32)
+        tm = np.ones((B, Lt), np.float32)
+        n_windows = rng.integers(1, 3, B)
+        spans_cxw = np.zeros((B, 2, 2), np.float32)
+        for b in range(B):
+            for w in range(n_windows[b]):
+                c = rng.uniform(0.2, 0.8)
+                width = rng.uniform(0.1, 0.3)
+                spans_cxw[b, w] = [c, width]
+        pos = rng.integers(0, Lv, (B, 1)).astype(np.int64)
+        neg = rng.integers(0, Lv, (B, 1)).astype(np.int64)
+
+        # torch step
+        opt_t.zero_grad()
+        t_out = ref(
+            src_txt=torch.from_numpy(txt), src_txt_mask=torch.from_numpy(tm),
+            src_vid=torch.from_numpy(vid), src_vid_mask=torch.from_numpy(vm),
+        )
+        t_tgt = {
+            "span_labels": [
+                {"spans": torch.from_numpy(spans_cxw[b, : n_windows[b]])}
+                for b in range(B)
+            ],
+            "saliency_pos_labels": torch.from_numpy(pos),
+            "saliency_neg_labels": torch.from_numpy(neg),
+        }
+        ld = crit(t_out, t_tgt)
+        t_loss = sum(ld[k] * wd[k] for k in ld if k in wd)
+        t_loss.backward()
+        opt_t.step()
+        t_losses.append(float(t_loss))
+
+        # jax step
+        mi = {
+            "src_txt": jnp.asarray(txt), "src_txt_mask": jnp.asarray(tm),
+            "src_vid": jnp.asarray(vid), "src_vid_mask": jnp.asarray(vm),
+        }
+        tg = {
+            "span_labels": jnp.asarray(spans_cxw),
+            "n_windows": jnp.asarray(n_windows, jnp.int32),
+            "saliency_pos_labels": jnp.asarray(pos, jnp.int32),
+            "saliency_neg_labels": jnp.asarray(neg, jnp.int32),
+        }
+        params, opt_state, j_loss = step(params, opt_state, mi, tg)
+        j_losses.append(float(j_loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4)

@@ -366,7 +366,9 @@ def moment_detr_losses(
         else:
             l1 = jnp.abs(pred - span_labels).sum(-1)
             giou = giou_paired(cxw_to_xx(pred), cxw_to_xx(span_labels))
-            loss_b = (l1 * w_valid).sum() / denom
+            # reference means over (matched, 2) coordinate entries
+            # (moment_detr.py:213,230: F.l1_loss(...).mean())
+            loss_b = (l1 * w_valid).sum() / (denom * 2)
             loss_g = ((1.0 - giou) * w_valid).sum() / denom
 
         # per-query CE: matched queries are foreground (class 0)
