@@ -101,3 +101,26 @@ def test_pallas_int8_matmul_interpret():
         pl.pallas_call = orig
     want = x @ (w_q * scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+
+def test_quantized_params_in_grounding_pipeline(model_and_params):
+    """int8-dequantized params drive the serving pipeline to near-identical
+    grounding outputs."""
+    from univtg_tpu.serve import GroundingPipeline
+
+    cfg, model, params, _ = model_and_params
+    rng = np.random.default_rng(5)
+    vid_feats = rng.standard_normal((12, cfg.vid_dim - 2)).astype(np.float32)
+    txt_feats = rng.standard_normal((5, cfg.txt_dim)).astype(np.float32)
+
+    pipe = GroundingPipeline(cfg, params, clip_len=2.0, buckets=[16])
+    want = pipe.ground_features(vid_feats, txt_feats)
+
+    q, scales = quantize_params(params)
+    deq = dequantize_params(q, scales)
+    pipe_q = GroundingPipeline(cfg, deq, clip_len=2.0, buckets=[16])
+    got = pipe_q.ground_features(vid_feats, txt_feats)
+
+    # same top-1 highlight and overlapping top-1 window under int8 weights
+    assert got["top1_highlight"] == want["top1_highlight"]
+    np.testing.assert_allclose(got["top1_window"], want["top1_window"], atol=1.0)
