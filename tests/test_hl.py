@@ -107,3 +107,33 @@ def test_hl_driver_smoke(corpus, tmp_path):
     scores = train_hl(cfg)
     assert "SYN" in scores and "AVG" in scores
     assert scores["SYN"] > 0
+
+
+def test_youtube_dataset_branch(tmp_path):
+    corpus = create_synthetic_hl_corpus(
+        str(tmp_path / "yt"), dset_name="youtube", n_train=4, n_val=2
+    )
+    cfg = HLDataConfig(
+        dset_name="youtube",
+        domain="SYN",
+        anno_path=corpus["anno_path"],
+        splits_path=corpus["splits_path"],
+        v_feat_dirs=corpus["v_feat_dirs"],
+        q_feat_dir=corpus["q_feat_dir"],
+        q_feat_dim=corpus["q_dim"],
+        max_v_l=corpus["max_clips"],
+        max_q_l=8,
+    )
+    ds = HLDataset(cfg)
+    item = ds[0]
+    sal = item["saliency_scores"]
+    # youtube saliency is binarized match (dataset.py:846-848)
+    assert set(np.unique(sal)).issubset({0.0, 1.0})
+    match = ds.label[item["meta"]["vid"]]["match"]
+    want = np.asarray([1.0 if s > 0 else 0.0 for s in match])[: len(sal)]
+    np.testing.assert_array_equal(sal, want)
+    # evaluator branch
+    from univtg_tpu.evals.hl_domain import evaluate_youtube
+
+    mAP = evaluate_youtube([sal + 0.01], [sal])  # scoring GT itself -> AP 1
+    assert mAP == pytest.approx(1.0)

@@ -105,3 +105,12 @@ def test_vlp_driver_zero_shot_eval(corpora, tmp_path):
     )
     metrics, best = train_vlp(cfg)
     assert "MR-full-mAP-key" in metrics["brief"]
+
+
+def test_init_distributed_single_process():
+    from univtg_tpu.train.driver_vlp import init_distributed
+
+    pid, count = init_distributed()
+    assert (pid, count) == (0, 1)
+    pid, count = init_distributed(num_processes=1)
+    assert (pid, count) == (0, 1)
