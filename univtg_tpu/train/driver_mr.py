@@ -149,6 +149,11 @@ def train_mr(
     eval_ds = MRDataset(cfg.eval_data) if cfg.eval_data else None
 
     mesh = make_mesh(cfg.dp, cfg.tp)
+    dp_size = mesh.shape["dp"]
+    assert cfg.bsz % dp_size == 0 and cfg.eval_bsz % dp_size == 0, (
+        f"bsz ({cfg.bsz}) and eval_bsz ({cfg.eval_bsz}) must divide by the "
+        f"dp mesh axis ({dp_size})"
+    )
 
     train_max_q = cfg.train_data.max_q_l if cfg.train_data else cfg.model.max_q_l
     train_max_v = cfg.train_data.max_v_l if cfg.train_data else cfg.model.max_v_l
