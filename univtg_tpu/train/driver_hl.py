@@ -115,15 +115,17 @@ def infer_hl(cfg: HLTrainConfig, ckpt_dir: str) -> dict:
     )
     model = UniVTG(cfg.model)
     optimizer = make_optimizer(lambda s: 0.0)
+    # one jitted step shared by all domains (per-domain wrappers would
+    # recompile 6-10x)
+    eval_step = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
+    state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(0))
     scores = {}
     for domain in domains:
         data_cfg = dataclasses.replace(cfg.data, domain=domain)
         dataset = HLDataset(data_cfg)
-        state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(0))
         params = ckpt.restore_params(
             os.path.join(ckpt_dir, f"model_{domain}_best.ckpt"), state.params
         )
-        eval_step = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
         scores[domain] = eval_domain(cfg, model, params, dataset, eval_step)
     scores["AVG"] = sum(scores.values()) / len(scores)
     return scores
@@ -138,7 +140,8 @@ def train_hl(cfg: HLTrainConfig) -> dict:
     )
     mesh = make_mesh(cfg.dp, cfg.tp)
     scores = {}
-    for domain in domains:
+
+    def make_loader(domain):
         data_cfg = dataclasses.replace(cfg.data, domain=domain)
         dataset = HLDataset(data_cfg)
         dataset.set_state("train")
@@ -151,18 +154,28 @@ def train_hl(cfg: HLTrainConfig) -> dict:
             shuffle=True,
             seed=cfg.seed,
         )
-        steps_per_epoch = max(1, len(loader))
-        schedule = build_schedule(
-            cfg.lr, cfg.lr_warmup, cfg.lr_drop, cfg.lr_gamma, steps_per_epoch
-        )
-        optimizer = make_optimizer(schedule, cfg.wd, cfg.grad_clip)
-        model = UniVTG(cfg.model)
+        return dataset, loader
+
+    # one model + jitted steps for every domain (per-domain wrappers would
+    # recompile 6-10x; schedule quantization uses the first domain's epoch
+    # length -- HL domain sizes are near-equal, warmup boundaries shift by
+    # <1 epoch for uneven ones)
+    first_ds, first_loader = make_loader(domains[0])
+    schedule = build_schedule(
+        cfg.lr, cfg.lr_warmup, cfg.lr_drop, cfg.lr_gamma, max(1, len(first_loader))
+    )
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.grad_clip)
+    model = UniVTG(cfg.model)
+    train_step = make_train_step(
+        model, optimizer, cfg.weights, tuple(cfg.losses), donate=False
+    )
+    eval_step = jax.jit(lambda params, mi: forward(model, params, mi, train=False))
+
+    for di, domain in enumerate(domains):
+        dataset, loader = (first_ds, first_loader) if di == 0 else make_loader(domain)
+        # fresh model per domain (train_hl.py:193-209)
         state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(cfg.seed))
         state = state.replace(params=replicate_params(mesh, state.params))
-        train_step = make_train_step(model, optimizer, cfg.weights, tuple(cfg.losses))
-        eval_step = jax.jit(
-            lambda params, mi: forward(model, params, mi, train=False)
-        )
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         best = 0.0

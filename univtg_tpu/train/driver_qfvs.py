@@ -112,10 +112,12 @@ def _score_one(cfg, model, params, inputs, mode: str, fwd):
     return logits
 
 
-def eval_split(cfg: QFVSTrainConfig, model, params, test_video: int, videos_tag):
+def eval_split(cfg: QFVSTrainConfig, model, params, test_video: int, videos_tag,
+               fwd=None):
     data_cfg = dataclasses.replace(cfg.data, train_videos=(test_video,))
     dataset = QFVSDataset(data_cfg)
-    fwd = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
+    if fwd is None:
+        fwd = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
 
     features, seg_len = load_video_grid(data_cfg, test_video)
     f1_sum = p_sum = r_sum = 0.0
@@ -165,17 +167,20 @@ def infer_qfvs(cfg: QFVSTrainConfig, ckpt_dir: str, videos_tag=None) -> dict:
         videos_tag = load_videos_tag(cfg.tags_mat_path)
     model = UniVTG(cfg.model)
     optimizer = make_optimizer(lambda s: 0.0)
+    fwd = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
+    state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(0))
     results = {}
     all_videos = set(cfg.data.train_videos) | set(cfg.data.test_videos)
     for s in cfg.splits:
         all_videos |= set(s)
     for split in cfg.splits:
         test_video = sorted(all_videos - set(split))[0]
-        state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(0))
         params = ckpt.restore_params(
             os.path.join(ckpt_dir, f"model_V{test_video}_best.ckpt"), state.params
         )
-        results[f"V{test_video}"] = eval_split(cfg, model, params, test_video, videos_tag)
+        results[f"V{test_video}"] = eval_split(
+            cfg, model, params, test_video, videos_tag, fwd=fwd
+        )
     results["AVG_F"] = round(
         sum(v["F"] for k, v in results.items() if k.startswith("V")) / len(cfg.splits), 2
     )
@@ -192,18 +197,24 @@ def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
     all_videos = set(cfg.data.train_videos) | set(cfg.data.test_videos)
     for s in cfg.splits:
         all_videos |= set(s)
+
+    # one model + jitted step across splits (avoids 4x recompilation;
+    # schedule quantization uses the first split's dataset size)
+    first_cfg = dataclasses.replace(cfg.data, train_videos=tuple(cfg.splits[0]))
+    first_n = len(QFVSDataset(first_cfg))
+    schedule = build_schedule(
+        cfg.lr, cfg.lr_warmup, cfg.lr_drop, cfg.lr_gamma, max(first_n, 1)
+    )
+    optimizer = make_optimizer(schedule, cfg.wd, cfg.grad_clip)
+    model = UniVTG(cfg.model)
+    train_step = make_qfvs_train_step(model, optimizer, cfg.weights)
+    eval_fwd = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
+
     for split in cfg.splits:
         test_video = sorted(all_videos - set(split))[0]
         data_cfg = dataclasses.replace(cfg.data, train_videos=tuple(split))
         dataset = QFVSDataset(data_cfg)
-
-        schedule = build_schedule(
-            cfg.lr, cfg.lr_warmup, cfg.lr_drop, cfg.lr_gamma, max(len(dataset), 1)
-        )
-        optimizer = make_optimizer(schedule, cfg.wd, cfg.grad_clip)
-        model = UniVTG(cfg.model)
         state = init_state(model, cfg.model, optimizer, jax.random.PRNGKey(cfg.seed))
-        train_step = make_qfvs_train_step(model, optimizer, cfg.weights)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         best = {"F": 0.0}
@@ -225,7 +236,7 @@ def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
                     state, in1, in2, in_oracle, gts[0], gts[1], gts[2], mask_flat, rng
                 )
             if (epoch + 1) % cfg.eval_epoch == 0:
-                scores = eval_split(cfg, model, state.params, test_video, videos_tag)
+                scores = eval_split(cfg, model, state.params, test_video, videos_tag, fwd=eval_fwd)
                 if scores["F"] > best["F"]:
                     best = scores
                     ckpt.save_checkpoint(
