@@ -170,3 +170,34 @@ def test_clip_len_one_semantics(tmp_path):
     cx, width = item["span_labels"][0]
     assert cx == pytest.approx((w[0] + w[1]) / 2 / (L * 1.0), abs=1e-6)
     assert width == pytest.approx((w[1] - w[0]) / (L * 1.0), abs=1e-6)
+
+
+def test_saliency_sampling_variants():
+    from univtg_tpu.data.mr import (
+        sample_saliency_from_scores,
+        sample_saliency_sub_as_query,
+    )
+
+    rng = np.random.default_rng(0)
+    rel_ids = [3, 4, 5, 6]
+    scores = [[1, 1, 1], [4, 4, 4], [2, 2, 2], [0, 0, 0]]
+    # easy-only (default): positives drawn from rel ids, negatives outside
+    pos, neg = sample_saliency_from_scores(rel_ids, scores, 20, rng)
+    assert pos[0] in rel_ids and neg[0] not in rel_ids
+    # hard+easy (easy_negative_only=0): best/worst scored + one random pair
+    pos, neg = sample_saliency_from_scores(
+        rel_ids, scores, 20, rng, add_easy_negative=1, easy_negative_only=0
+    )
+    assert pos[0] == 4 and neg[0] == 6  # argmax/argmin of summed scores
+    assert len(pos) == 2 and len(neg) == 2
+    # equal scores: hard negatives collapse onto positives (dataset.py:602-603)
+    pos, neg = sample_saliency_from_scores(
+        [1, 2], [[2, 2, 2], [2, 2, 2]], 20, rng, add_easy_negative=0,
+        easy_negative_only=0,
+    )
+    assert pos == neg
+    # sub-as-query: pos inside the window, neg outside; degenerate window
+    pos, neg = sample_saliency_sub_as_query([8.0, 16.0], 20, 2.0, rng)
+    assert 4 <= pos[0] <= 7 and not (4 <= neg[0] <= 7)
+    pos, neg = sample_saliency_sub_as_query([0.0, 40.0], 5, 2.0, rng)
+    assert neg == pos  # empty negative pool falls back to positives
