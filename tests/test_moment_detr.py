@@ -312,3 +312,22 @@ def test_ce_span_type_matcher_and_losses():
     )
     assert float(got_ld["loss_b"]) == pytest.approx(float(ref_ld["loss_b"]), abs=1e-5)
     assert float(got_ld["loss_g"]) == 0.0
+
+
+def test_matcher_callback_impl_matches_exhaustive():
+    rng = np.random.default_rng(13)
+    B, Q, Wmax = 2, 6, 3
+    outputs = {
+        "pred_logits": jnp.asarray(rng.standard_normal((B, Q, 2)), jnp.float32),
+        "pred_spans": jnp.asarray(
+            np.stack([rng.uniform(0.2, 0.8, (B, Q)), rng.uniform(0.05, 0.3, (B, Q))], -1),
+            jnp.float32,
+        ),
+    }
+    tgt = np.zeros((B, Wmax, 2), np.float32)
+    tgt[0, :2] = [[0.3, 0.1], [0.7, 0.2]]
+    tgt[1, :1] = [[0.5, 0.25]]
+    n = jnp.asarray([2, 1], jnp.int32)
+    a = np.asarray(hungarian_match(outputs, jnp.asarray(tgt), n, impl="exhaustive"))
+    b = np.asarray(hungarian_match(outputs, jnp.asarray(tgt), n, impl="callback"))
+    np.testing.assert_array_equal(a, b)
