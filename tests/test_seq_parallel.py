@@ -19,6 +19,31 @@ def test_seq_constraint_noop_without_mesh():
     np.testing.assert_array_equal(np.asarray(seq_constraint(x)), np.asarray(x))
 
 
+def test_seq_constraint_warns_when_axis_does_not_tile():
+    """A token axis that doesn't tile over tp silently disabled sp in round 1;
+    now it must warn (once per shape) so the skip is visible."""
+    import univtg_tpu.parallel.mesh as mesh_mod
+
+    mesh = make_mesh(dp=2, tp=4)
+    x = jnp.ones((2, 7, 4))  # 7 % 4 != 0
+    mesh_mod._SEQ_SKIP_WARNED.clear()
+    with jax.set_mesh(mesh):
+        with pytest.warns(UserWarning, match="does not tile"):
+            out = seq_constraint(x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        # second call with the same shape: no duplicate warning
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            seq_constraint(x)
+
+
+def test_make_mesh_actionable_error():
+    with pytest.raises(ValueError, match="xla_force_host_platform_device_count"):
+        make_mesh(dp=64, tp=2)
+
+
 def test_seq_shard_outputs_match():
     base_cfg = ModelConfig(
         vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=2, num_heads=4,

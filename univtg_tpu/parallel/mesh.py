@@ -16,6 +16,7 @@ main/train_vlp_ddp.py:215-275):
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Optional
 
 import jax
@@ -28,7 +29,13 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
-    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > {n} devices"
+    if dp * tp > n:
+        raise ValueError(
+            f"mesh needs dp*tp = {dp}*{tp} = {dp * tp} devices but only {n} "
+            f"are visible ({devices[0].platform if devices else 'none'}). "
+            f"Reduce dp/tp, or expose a virtual mesh with JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp}."
+        )
     grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))
 
@@ -76,6 +83,9 @@ def batch_sharding(mesh: Mesh, batch_axis: int = 0):
     return NamedSharding(mesh, P(*([None] * batch_axis + ["dp"])))
 
 
+_SEQ_SKIP_WARNED: set = set()
+
+
 def seq_constraint(x, axis: str = "tp"):
     """Sequence-parallel activation constraint (Megatron-SP style): shard
     the token axis of a (B, L, D) activation over `axis` for the
@@ -86,6 +96,16 @@ def seq_constraint(x, axis: str = "tp"):
     if mesh is None or not mesh.shape or axis not in mesh.shape:
         return x
     if x.shape[1] % mesh.shape[axis] != 0:  # token axis must tile evenly
+        key = (x.shape[1], mesh.shape[axis])
+        if key not in _SEQ_SKIP_WARNED:  # warn once per (length, shards)
+            _SEQ_SKIP_WARNED.add(key)
+            warnings.warn(
+                f"seq_constraint skipped: token axis ({x.shape[1]}) does not "
+                f"tile over {axis}={mesh.shape[axis]}; sequence parallelism "
+                f"is inactive for this shape. Pad L to a multiple of "
+                f"{mesh.shape[axis]} to enable it.",
+                stacklevel=2,
+            )
         return x
     return jax.lax.with_sharding_constraint(x, P("dp", axis, None))
 
