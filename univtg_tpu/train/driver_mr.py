@@ -83,7 +83,6 @@ class TrainConfig:
     dp: Optional[int] = None
     tp: int = 1
     num_io_threads: int = 8
-    log_every: int = 50
     use_gates: bool = False  # per-sample loss gating (VLP multi-corpus)
     shard_index: int = 0  # per-host data shard (multi-process pretraining)
     num_shards: int = 1
@@ -243,19 +242,16 @@ def train_mr(
         if epoch > -1:
             train_loader.set_epoch(epoch)
             t0 = time.time()
-            agg = {}
             n_steps = 0
-            n_recorded = 0
+            # Exact per-epoch means (the reference's AverageMeter semantics,
+            # main/train_mr.py:36-49): every step's metrics are recorded as
+            # device scalars ((K,) arrays for scan dispatches) and fetched in
+            # one device_get at epoch end, so recording never forces a
+            # host sync inside the hot loop.
+            pending_metrics = []
 
-            def record(metrics, scalar=True):
-                nonlocal n_recorded
-                host = {
-                    k: float(v if scalar else np.asarray(v)[-1])
-                    for k, v in metrics.items()
-                }
-                for k, v in host.items():
-                    agg[k] = agg.get(k, 0.0) + v
-                n_recorded += 1
+            def record(metrics):
+                pending_metrics.append(metrics)
 
             if scan_step is not None:
                 from univtg_tpu.train.steps import stack_batches
@@ -273,7 +269,7 @@ def train_mr(
                         )
                         n_steps += len(pending)
                         pending = []
-                        record(metrics, scalar=False)
+                        record(metrics)
                 for batch in pending:  # remainder through the single step
                     model_inputs, targets = _strip_meta(batch, cfg.transfer_dtype)
                     state, metrics = train_step(
@@ -291,14 +287,21 @@ def train_mr(
                     targets = shard_batch(mesh, targets)
                     state, metrics = train_step(state, model_inputs, targets, rng)
                     n_steps += 1
-                    if n_steps % cfg.log_every == 0 or n_steps == steps_per_epoch:
-                        record(metrics)
+                    record(metrics)
             dt = time.time() - t0
+            # per-key counts: scan and single-step metrics can differ in key
+            # sets (e.g. grad_norm is single-step only)
+            agg, counts = {}, {}
+            for metrics in jax.device_get(pending_metrics):
+                for k, v in metrics.items():
+                    arr = np.asarray(v)
+                    agg[k] = agg.get(k, 0.0) + float(arr.sum())
+                    counts[k] = counts.get(k, 0) + int(arr.size)
             line = {
                 "epoch": epoch,
                 "time": dt,
                 "steps": n_steps,
-                **{k: v / max(1, n_recorded) for k, v in agg.items()},
+                **{k: v / max(1, counts[k]) for k, v in agg.items()},
             }
             train_log.write(json.dumps(line) + "\n")
             train_log.flush()
