@@ -1,0 +1,148 @@
+"""TRUE multi-process distributed training: a 2-process jax.distributed gang
+(2 virtual CPU devices per process -> global dp=4 mesh) runs the VLP driver
+end-to-end, and its loss curve must match a single-process run that assembles
+the same global batches from the two host shards.
+
+This is the TPU-native equivalent of the reference's NCCL DDP launch
+(/root/reference/main/train_vlp_ddp.py:215-275 + scripts/pretrain.sh):
+per-host shard loading (DistributedSampler, :112), cross-process gradient
+all-reduce (DDP backward hooks), identical replicas on every process.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def corpus_meta(tmp_path_factory):
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+
+    root = tmp_path_factory.mktemp("mp")
+    a = create_synthetic_mr_corpus(str(root / "a"), n_train=20, n_val=6, seed=31)
+    b = create_synthetic_mr_corpus(str(root / "b"), n_train=12, n_val=4, seed=32)
+    meta = {"corpora": [a, b]}
+    path = str(root / "meta.json")
+    json.dump(meta, open(path, "w"))
+    return path
+
+
+@pytest.mark.slow
+def test_two_process_vlp_matches_virtual_two_host(corpus_meta, tmp_path):
+    # ---- 2-process gang ----
+    port = _free_port()
+    results = str(tmp_path / "mp_run")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "mp_worker.py"),
+                str(pid),
+                "2",
+                str(port),
+                corpus_meta,
+                results,
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"worker {pid} done" in out
+
+    logs = []
+    for pid in range(2):
+        path = os.path.join(results, f"p{pid}", "train_log.jsonl")
+        logs.append([json.loads(l) for l in open(path)])
+    assert len(logs[0]) == len(logs[1]) == 2  # 2 epochs
+
+    # both processes observed the SAME global loss (metrics are computed on
+    # the global batch inside the SPMD program)
+    for l0, l1 in zip(logs[0], logs[1]):
+        assert l0["loss_overall"] == pytest.approx(l1["loss_overall"], rel=1e-6)
+        assert l0["steps"] == l1["steps"]
+
+    # ---- single-process virtual-two-host baseline: identical global batches
+    # (concat of shard0+shard1 loader batches), identical init/rng ----
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from mp_worker import build_cfg
+
+    import jax
+
+    from univtg_tpu.data.collate import collate_mr
+    from univtg_tpu.data.loader import Loader
+    from univtg_tpu.data.vlp import VLPDataset
+    from univtg_tpu.models.losses import LossWeights
+    from univtg_tpu.parallel import make_mesh, replicate_params, shard_batch
+    from univtg_tpu.train.driver_mr import build_everything
+    from univtg_tpu.train.steps import make_train_step
+
+    meta = json.load(open(corpus_meta))
+    cfg = build_cfg(meta, str(tmp_path / "baseline"))
+    ds = VLPDataset(cfg.vlp_data)
+    mk = lambda shard: Loader(
+        ds,
+        cfg.bsz,
+        lambda items, pad_batch_to: collate_mr(
+            items, cfg.vlp_data.max_q_l, cfg.vlp_data.max_v_l, pad_batch_to
+        ),
+        shuffle=True,
+        seed=cfg.seed,
+        num_threads=2,
+        shard_index=shard,
+        num_shards=2,
+    )
+    loaders = [mk(0), mk(1)]
+    model, optimizer, state = build_everything(cfg, len(loaders[0]))
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    state = state.replace(params=replicate_params(mesh, state.params))
+    step = make_train_step(
+        model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=True
+    )
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    for epoch, mp_line in enumerate(logs[0]):
+        for ld in loaders:
+            ld.set_epoch(epoch)
+        losses = []
+        for b0, b1 in zip(*loaders):
+            mi = {
+                k: np.concatenate([b0["model_inputs"][k], b1["model_inputs"][k]])
+                for k in b0["model_inputs"]
+            }
+            tg = {
+                k: np.concatenate([b0["targets"][k], b1["targets"][k]])
+                for k in b0["targets"]
+            }
+            state, metrics = step(
+                state, shard_batch(mesh, mi), shard_batch(mesh, tg), rng
+            )
+            losses.append(float(metrics["loss_overall"]))
+        want = float(np.mean(losses))
+        assert mp_line["loss_overall"] == pytest.approx(want, rel=2e-4), (
+            epoch,
+            mp_line["loss_overall"],
+            want,
+        )
+        assert mp_line["steps"] == len(losses)

@@ -2,5 +2,6 @@ from univtg_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     shard_batch,
     replicate_params,
+    replicate_tree,
     param_shardings,
 )

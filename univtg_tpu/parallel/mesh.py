@@ -76,7 +76,35 @@ def param_shardings(mesh: Mesh, params):
 
 
 def replicate_params(mesh: Mesh, params):
-    return jax.device_put(params, param_shardings(mesh, params))
+    """Lay out params on the mesh (tp-sharded encoder matrices, rest
+    replicated). Multi-process: every host holds the full params (same PRNG
+    seed / restored checkpoint), so each leaf becomes a global array via
+    make_array_from_process_local_data with global_shape == local shape."""
+    shardings = param_shardings(mesh, params)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x, sh: jax.make_array_from_process_local_data(
+                sh, np.asarray(x), global_shape=np.shape(x)
+            ),
+            params,
+            shardings,
+        )
+    return jax.device_put(params, shardings)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Globalize a host-identical pytree as fully-replicated global arrays
+    (multi-process: optimizer state, step counters). Single-process: no-op
+    (jit handles uncommitted arrays)."""
+    if jax.process_count() <= 1:
+        return tree
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x), global_shape=np.shape(x)
+        ),
+        tree,
+    )
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0):
@@ -114,7 +142,18 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
     """Device-put a host batch with the batch axis split over dp
     (batch_axis=1 for K-stacked scan batches).
 
+    Multi-process: each host passes its OWN data shard (the
+    DistributedSampler equivalent, train_vlp_ddp.py:112) and the global
+    batch is assembled across processes -- global batch size is
+    process_count * local batch size, matching the reference's per-GPU
+    batch-size semantics.
+
     Non-array leaves (meta lists) must be stripped before calling.
     """
     sh = batch_sharding(mesh, batch_axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -183,6 +183,14 @@ def train_mr(
                 params=ckpt.restore_params(resume, state.params)
             )
     state = state.replace(params=replicate_params(mesh, state.params))
+    if jax.process_count() > 1:
+        # every jit input must be a global array in multi-process SPMD
+        from univtg_tpu.parallel import replicate_tree
+
+        state = state.replace(
+            opt_state=replicate_tree(mesh, state.opt_state),
+            step=replicate_tree(mesh, state.step),
+        )
 
     if cfg.model_id == "moment_detr":
         from univtg_tpu.train.steps import make_md_eval_step, make_md_train_step
@@ -353,9 +361,15 @@ def _eval_once(cfg, model, state, eval_ds, eval_step, epoch):
         shuffle=False,
         num_threads=cfg.num_io_threads,
     )
+    # multi-process: eval runs on the main process only (the reference's
+    # rank-0 eval, train_vlp_ddp.py:127-195); pull the (host-addressable)
+    # params off the global mesh so the eval jit is process-local
+    params = state.params
+    if jax.process_count() > 1:
+        params = jax.tree_util.tree_map(np.asarray, params)
     submission = run_inference(
         model,
-        state.params,
+        params,
         eval_loader,
         eval_mode=cfg.eval_mode,
         clip_length=cfg.eval_data.clip_len,
