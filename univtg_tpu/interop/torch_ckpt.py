@@ -159,3 +159,62 @@ def load_torch_checkpoint(path, cfg):
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
     return params_from_torch_state_dict(state_dict, cfg)
+
+
+def config_from_reference_opt(opt: dict):
+    """ModelConfig from a reference run's saved opt.json / in-ckpt opt dict
+    (the flag surface BaseOptions serializes, main/config.py:206-213; note
+    v_feat_dim is stored post-TEF-bump, config.py:287-292, so it maps to
+    vid_dim directly)."""
+    from univtg_tpu.models import ModelConfig
+
+    def get(k, default):
+        v = opt.get(k, default)
+        return default if v is None else v
+
+    return ModelConfig(
+        vid_dim=opt["v_feat_dim"],
+        txt_dim=opt["t_feat_dim"],
+        hidden_dim=get("hidden_dim", 256),
+        num_layers=get("enc_layers", 4),
+        num_heads=get("nheads", 8),
+        ffn_dim=get("dim_feedforward", 1024),
+        dropout=get("dropout", 0.1),
+        droppath=get("droppath", 0.1),
+        input_dropout=get("input_dropout", 0.5),
+        n_input_proj=get("n_input_proj", 2),
+        span_loss_type=get("span_loss_type", "l1"),
+        max_v_l=get("max_v_l", 75),
+        max_q_l=get("max_q_l", 75),
+        use_txt_pos=bool(get("use_txt_pos", False)),
+    )
+
+
+def load_reference_run(ckpt_path, opt_json_path=None):
+    """(ModelConfig, params) from a released checkpoint directory: the model
+    architecture is reconstructed from the saved opt.json next to the ckpt
+    (the reference's TestOptions flow, main/config.py:233-247 + 362-374) or,
+    failing that, from the 'opt' dict inside the checkpoint container."""
+    import json
+    import os
+
+    import torch
+
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    opt = None
+    if opt_json_path is None:
+        cand = os.path.join(os.path.dirname(ckpt_path) or ".", "opt.json")
+        opt_json_path = cand if os.path.exists(cand) else None
+    if opt_json_path is not None:
+        with open(opt_json_path) as f:
+            opt = json.load(f)
+    elif isinstance(blob, dict) and isinstance(blob.get("opt"), dict):
+        opt = blob["opt"]
+    if opt is None:
+        raise FileNotFoundError(
+            f"no opt.json next to {ckpt_path} and no 'opt' dict inside the "
+            f"checkpoint; pass opt_json_path explicitly"
+        )
+    cfg = config_from_reference_opt(opt)
+    state_dict = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
+    return cfg, params_from_torch_state_dict(state_dict, cfg)
