@@ -28,9 +28,11 @@ from univtg_tpu.ops.attention import multihead_attention
 class CLIPConfig:
     embed_dim: int = 512
     image_resolution: int = 224
-    vision_layers: int = 12
+    # int -> ViT depth; tuple -> ModifiedResNet stage block counts (RN50 =
+    # (3, 4, 6, 3); reference model.py:93-150 selects the tower the same way)
+    vision_layers: object = 12
     vision_width: int = 768
-    vision_patch_size: int = 32
+    vision_patch_size: int = 32  # ViT only
     context_length: int = 77
     vocab_size: int = 49408
     transformer_width: int = 512
@@ -39,7 +41,13 @@ class CLIPConfig:
     compute_dtype: str = "float32"
 
     @property
+    def is_resnet(self):
+        return isinstance(self.vision_layers, (tuple, list))
+
+    @property
     def vision_heads(self):
+        if self.is_resnet:  # attnpool heads (model.py:127: width*32//64)
+            return self.vision_width * 32 // 64
         return self.vision_width // 64
 
     @property
@@ -53,6 +61,24 @@ def vit_b32():
 
 def vit_b16():
     return CLIPConfig(vision_patch_size=16)
+
+
+def rn50():
+    return CLIPConfig(
+        embed_dim=1024,
+        vision_layers=(3, 4, 6, 3),
+        vision_width=64,
+        vision_patch_size=0,
+    )
+
+
+def rn101():
+    return CLIPConfig(
+        embed_dim=512,
+        vision_layers=(3, 4, 23, 3),
+        vision_width=64,
+        vision_patch_size=0,
+    )
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -103,6 +129,137 @@ class ResidualAttentionBlock(nn.Module):
         h = h * nn.sigmoid(1.702 * h)  # QuickGELU (clip/model.py:166-168)
         h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
         return x + h
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm with converted running statistics as params
+    (this is a runtime encoder for released weights -- never trained here, so
+    no mutable batch_stats collection). eps matches torch BatchNorm2d."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = (scale * jax.lax.rsqrt(var + 1e-5)).astype(self.dtype)
+        return x * inv + (bias - mean * scale * jax.lax.rsqrt(var + 1e-5)).astype(
+            self.dtype
+        )
+
+
+def _conv(features, kernel, stride, dtype, name):
+    pad = ((kernel // 2, kernel // 2),) * 2  # torch padding=k//2 semantics
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=pad,
+        use_bias=False,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    """Anti-aliased CLIP bottleneck: all convs stride 1; spatial reduction is
+    an avg-pool after conv2 (and prepended to the 1x1 downsample), matching
+    run_on_video/clip/model.py:10-53."""
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inplanes = x.shape[-1]
+        out_ch = self.planes * 4
+        h = nn.relu(FrozenBatchNorm(self.planes, self.dtype, name="bn1")(
+            _conv(self.planes, 1, 1, self.dtype, "conv1")(x)))
+        h = nn.relu(FrozenBatchNorm(self.planes, self.dtype, name="bn2")(
+            _conv(self.planes, 3, 1, self.dtype, "conv2")(h)))
+        if self.stride > 1:
+            h = nn.avg_pool(h, (self.stride,) * 2, (self.stride,) * 2)
+        h = FrozenBatchNorm(out_ch, self.dtype, name="bn3")(
+            _conv(out_ch, 1, 1, self.dtype, "conv3")(h))
+        identity = x
+        if self.stride > 1 or inplanes != out_ch:
+            identity = x
+            if self.stride > 1:
+                identity = nn.avg_pool(
+                    identity, (self.stride,) * 2, (self.stride,) * 2
+                )
+            identity = FrozenBatchNorm(out_ch, self.dtype, name="downsample_bn")(
+                _conv(out_ch, 1, 1, self.dtype, "downsample_conv")(identity))
+        return nn.relu(h + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """QKV attention pooling (model.py:56-91). Only the mean-token query's
+    output is consumed (torch returns x[0]), so attention is computed with a
+    SINGLE query row -- same math, HW x fewer score FLOPs."""
+    num_heads: int
+    output_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        tokens = x.reshape(B, H * W, C)
+        mean = tokens.mean(axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean, tokens], axis=1)  # (B, HW+1, C)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(C**-0.5),
+            (H * W + 1, C),
+        )
+        tokens = tokens + pos.astype(self.dtype)
+        q = nn.Dense(C, dtype=self.dtype, name="q_proj")(tokens[:, :1])
+        k = nn.Dense(C, dtype=self.dtype, name="k_proj")(tokens)
+        v = nn.Dense(C, dtype=self.dtype, name="v_proj")(tokens)
+        Hn, dh = self.num_heads, C // self.num_heads
+        q = q.reshape(B, 1, Hn, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, Hn, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, Hn, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (dh**-0.5), k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        ).transpose(0, 2, 1, 3).reshape(B, 1, C).astype(self.dtype)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(attn)[:, 0]
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's ResNet tower (RN50/RN101 releases): 3-conv stem with avg-pool,
+    anti-aliased bottlenecks, attention pooling (model.py:93-150)."""
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        w = cfg.vision_width
+        x = images.astype(dtype)
+        x = nn.relu(FrozenBatchNorm(w // 2, dtype, name="bn1")(
+            _conv(w // 2, 3, 2, dtype, "conv1")(x)))
+        x = nn.relu(FrozenBatchNorm(w // 2, dtype, name="bn2")(
+            _conv(w // 2, 3, 1, dtype, "conv2")(x)))
+        x = nn.relu(FrozenBatchNorm(w, dtype, name="bn3")(
+            _conv(w, 3, 1, dtype, "conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+        for stage, blocks in enumerate(cfg.vision_layers):
+            planes = w * (2**stage)
+            for i in range(blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = Bottleneck(
+                    planes, stride, dtype, name=f"layer{stage + 1}_{i}"
+                )(x)
+        return AttentionPool2d(
+            cfg.vision_heads, cfg.embed_dim, dtype, name="attnpool"
+        )(x)
 
 
 class VisionTower(nn.Module):
@@ -190,7 +347,8 @@ class CLIP(nn.Module):
     cfg: CLIPConfig
 
     def setup(self):
-        self.visual = VisionTower(self.cfg, name="visual")
+        tower = ModifiedResNet if self.cfg.is_resnet else VisionTower
+        self.visual = tower(self.cfg, name="visual")
         self.text = TextTower(self.cfg, name="text")
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
