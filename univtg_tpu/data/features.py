@@ -12,9 +12,57 @@ from typing import Optional, Sequence
 import numpy as np
 
 
-def load_jsonl(path: str):
+def load_jsonl(path: str, lazy: bool = False):
+    """Read a jsonl corpus. lazy=True returns a LazyJsonl view (one int64
+    byte offset per record instead of a parsed dict) for multi-million-sample
+    pretraining corpora (the reference holds them fully in RAM,
+    main/dataset.py:133-148)."""
+    if lazy:
+        return LazyJsonl(path)
     with open(path) as f:
         return [json.loads(line) for line in f if line.strip()]
+
+
+class LazyJsonl:
+    """List-like lazy jsonl: records parse on access, thread-safe (per-thread
+    file handles for the Loader's IO pool). Slicing returns a lazy view."""
+
+    def __init__(self, path: str, offsets: Optional[np.ndarray] = None):
+        import threading
+
+        self.path = path
+        if offsets is None:
+            offs = []
+            pos = 0
+            with open(path, "rb") as f:
+                for line in f:
+                    if line.strip():
+                        offs.append(pos)
+                    pos += len(line)
+            offsets = np.asarray(offs, np.int64)
+        self.offsets = offsets
+        self._local = threading.local()
+
+    def _handle(self):
+        f = getattr(self._local, "f", None)
+        if f is None:
+            f = open(self.path, "rb")
+            self._local.f = f
+        return f
+
+    def __len__(self):
+        return len(self.offsets)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return LazyJsonl(self.path, self.offsets[i])
+        f = self._handle()
+        f.seek(int(self.offsets[i]))
+        return json.loads(f.readline())
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
 
 def save_jsonl(rows, path: str):

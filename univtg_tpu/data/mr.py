@@ -54,6 +54,9 @@ class MRDataConfig:
     add_easy_negative: int = 1
     easy_negative_only: int = 1
     h5_cache_dir: str = ""  # data/{dset}/h5py dir with {feat_type}.hdf5
+    # byte-offset-indexed metadata (multi-million-sample pretraining corpora;
+    # records parse on access instead of living in RAM as dicts)
+    lazy_metadata: bool = False
     seed: int = 2018
 
 
@@ -158,7 +161,7 @@ class MRDataset:
 
     def __init__(self, cfg: MRDataConfig):
         self.cfg = cfg
-        self.data = load_jsonl(cfg.data_path)
+        self.data = load_jsonl(cfg.data_path, lazy=cfg.lazy_metadata)
         if cfg.data_ratio != 1.0:
             self.data = self.data[: int(len(self.data) * cfg.data_ratio)]
         import os as _os
@@ -172,8 +175,11 @@ class MRDataset:
             name = _os.path.basename(feat_dir.rstrip("/"))
             return _os.path.join(cfg.h5_cache_dir, f"{name}.hdf5")
 
-        vids = sorted({m["vid"] for m in self.data})
-        qids = sorted({m["qid"] for m in self.data})
+        if cfg.h5_cache_dir:  # cache preload keys need a full metadata scan
+            vids = sorted({m["vid"] for m in self.data})
+            qids = sorted({m["qid"] for m in self.data})
+        else:
+            vids = qids = None
         # h5 caches store already-normalized features (tools/pack_h5.py),
         # mirroring use_cache (main/dataset.py:448-467)
         self.v_sources = [

@@ -49,6 +49,9 @@ class VLPDataConfig:
     use_tef: bool = True
     txt_drop_ratio: float = 0.1
     data_ratio: float = 1.0
+    # byte-offset-indexed corpus metadata for multi-million-sample
+    # pretraining (see data/features.py LazyJsonl)
+    lazy_metadata: bool = False
     seed: int = 2018
 
 
@@ -56,7 +59,8 @@ class VLPDataset:
     def __init__(self, cfg: VLPDataConfig):
         self.cfg = cfg
         self.parts = []
-        self.index = []  # (part_idx, local_idx, gates)
+        self.part_gates = []
+        sizes = []
         for pi, spec in enumerate(cfg.corpora):
             part_cfg = MRDataConfig(
                 dset_name=spec.dset_name,
@@ -70,26 +74,38 @@ class VLPDataset:
                 max_v_l=cfg.max_v_l,
                 use_tef=cfg.use_tef,
                 txt_drop_ratio=cfg.txt_drop_ratio,
+                lazy_metadata=cfg.lazy_metadata,
                 seed=cfg.seed + pi,
             )
             ds = MRDataset(part_cfg)
             self.parts.append(ds)
-            gates = TYPE_GATES[spec.type]
-            self.index.extend((pi, i, gates) for i in range(len(ds)))
+            self.part_gates.append(TYPE_GATES[spec.type])
+            sizes.append(len(ds))
+        # compact numpy index (one int32+int64 per sample, not a tuple list:
+        # 4.2M-sample corpora stay tens of MB instead of hundreds)
+        self.part_ids = np.repeat(
+            np.arange(len(sizes), dtype=np.int32), sizes
+        )
+        self.local_ids = np.concatenate(
+            [np.arange(n, dtype=np.int64) for n in sizes]
+        ) if sizes else np.zeros(0, np.int64)
         if cfg.data_ratio != 1.0:
             rng = np.random.default_rng(cfg.seed)
-            rng.shuffle(self.index)
-            self.index = self.index[: int(len(self.index) * cfg.data_ratio)]
+            keep = rng.permutation(len(self.part_ids))[
+                : int(len(self.part_ids) * cfg.data_ratio)
+            ]
+            self.part_ids = self.part_ids[keep]
+            self.local_ids = self.local_ids[keep]
 
     def set_epoch(self, epoch: int):
         for p in self.parts:
             p.set_epoch(epoch)
 
     def __len__(self):
-        return len(self.index)
+        return len(self.part_ids)
 
     def __getitem__(self, i: int):
-        pi, li, gates = self.index[i]
-        item = self.parts[pi][li]
-        item["gates"] = gates
+        pi = int(self.part_ids[i])
+        item = self.parts[pi][int(self.local_ids[i])]
+        item["gates"] = self.part_gates[pi]
         return item
