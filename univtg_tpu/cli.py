@@ -161,6 +161,18 @@ def cmd_infer_qfvs(args):
 
 
 def cmd_plot(args):
+    if args.paper:
+        if not args.gt:
+            raise SystemExit("--paper requires --gt (the comparison needs GT rows)")
+        from univtg_tpu.tools.plots import plot_comparison_set
+
+        made = plot_comparison_set(
+            args.submission, args.gt, args.out_dir,
+            baseline_jsonl=args.baseline, video_dir=args.video_dir,
+            max_queries=args.max_queries,
+        )
+        print(f"wrote {len(made)} figure sets to {args.out_dir}")
+        return
     from univtg_tpu.tools.plots import plot_submission
 
     n = plot_submission(
@@ -247,6 +259,10 @@ def build_parser():
     sp.add_argument("--baseline", default=None)
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--max-queries", type=int, default=20)
+    sp.add_argument("--paper", action="store_true",
+                    help="paper-style per-query comparison figure sets")
+    sp.add_argument("--video-dir", default=None,
+                    help="dir of {vid}.mp4 files for the frame strips")
 
     sp = add("eval", cmd_eval)
     sp.add_argument("--submission", required=True)

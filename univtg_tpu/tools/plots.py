@@ -72,6 +72,277 @@ def plot_query(
     return fig
 
 
+# ---------------------------------------------------------------- paper style
+# Colors follow the reference's palette roles (plot/qvhl.py settings): GT
+# green, prediction blue, baseline a third hue; each with a darker edge.
+_PAPER = {
+    "gt": ("#90ee90", "#2e8b57"),
+    "pred": ("#add8e6", "#1f6fb4"),
+    "base": ("#ffcf9e", "#c45508"),
+}
+
+
+def _minmax(x):
+    x = np.asarray(x, np.float64)
+    lo, hi = x.min(), x.max()
+    return (x - lo) / (hi - lo + 1e-9)
+
+
+def _label_ends(ax, row, st, ed, duration, color):
+    offset = duration * 0.01
+    if st > 2 * offset:
+        ax.text(st, row, f"{st:.1f}", va="center", ha="right", color=color, fontsize=11)
+    if ed < duration - offset:
+        ax.text(ed, row, f"{ed:.1f}", va="center", ha="left", color=color, fontsize=11)
+
+
+def plot_mr_paper(pred_row, gt_row, out_path=None, baseline_row=None, pred_num=None):
+    """Paper-style MR bar chart (plot/qvhl.py:92-194): one horizontal track
+    per system (GT on top, prediction, optional baseline), white full-length
+    base bars with black edges, start/end timestamps labeled at the bar ends,
+    track names drawn inside the track."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    duration = float(gt_row["duration"])
+    rows = [("GT Interval", gt_row["relevant_windows"], _PAPER["gt"])]
+    rows.append(
+        ("UniVTG's Prediction", pred_row["pred_relevant_windows"], _PAPER["pred"])
+    )
+    if baseline_row is not None:
+        rows.append(
+            ("Baseline's Prediction", baseline_row["pred_relevant_windows"],
+             _PAPER["base"])
+        )
+    n = pred_num if pred_num is not None else len(gt_row["relevant_windows"])
+
+    fig, ax = plt.subplots(1, 1, figsize=(25, 1 + len(rows) * 0.7))
+    ys = list(range(len(rows)))[::-1]  # GT on top
+    for y in ys:
+        ax.barh(y, duration, left=0, height=0.6, color="white",
+                edgecolor="black", linewidth=2)
+    for y, (name, windows, (fill, dark)) in zip(ys, rows):
+        for w in windows[:n]:
+            st, ed = float(w[0]), float(w[1])
+            ax.barh(y, ed - st, left=st, height=0.6, color=fill,
+                    edgecolor=dark, linewidth=2)
+            _label_ends(ax, y, st, ed, duration, dark)
+        ax.text(duration * 0.005, y, f"  {name}", va="center", ha="left",
+                color=dark, fontsize=13, fontweight="bold")
+    off = duration * 0.01
+    ax.text(off, -0.75, "0.0", va="center", ha="center", fontsize=11)
+    ax.text(duration - off, -0.75, f"{duration:.1f}", va="center", ha="center",
+            fontsize=11)
+    ax.set_xlim(0, duration)
+    ax.set_ylim(-1, len(rows) - 0.4)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    for spine in ax.spines.values():
+        spine.set_visible(False)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight", pad_inches=0.2, dpi=100)
+    return fig
+
+
+def _gt_saliency_curve(gt_row, length):
+    gt = np.zeros(length)
+    ids = np.asarray(gt_row.get("relevant_clip_ids", []), int)
+    scores = gt_row.get("saliency_scores")
+    if scores is not None and len(ids):
+        vals = np.asarray(scores, np.float64)
+        vals = vals.mean(axis=-1) if vals.ndim > 1 else vals
+        keep = ids < length
+        gt[ids[keep]] = _minmax(vals)[keep]
+    return gt
+
+
+def plot_hl_paper(pred_row, gt_row, out_path=None, baseline_row=None,
+                  clip_len: float = 2.0, gap: Optional[float] = None):
+    """Paper-style saliency comparison (plot/qvhl.py:209-263): min-max
+    normalized curves for GT / prediction / optional baseline with colored
+    legend text and periodic time labels."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pred = _minmax(pred_row["pred_saliency_scores"])
+    L = len(pred)
+    duration = float(gt_row["duration"])
+    x = np.arange(L) * clip_len
+    fig, ax = plt.subplots(1, 1, figsize=(25, 2.2))
+    ax.plot(x, _gt_saliency_curve(gt_row, L), label="GT Saliency",
+            color=_PAPER["gt"][1], linewidth=4)
+    ax.plot(x, pred, label="UniVTG's Prediction", color=_PAPER["pred"][1],
+            linewidth=4)
+    if baseline_row is not None:
+        base = np.asarray(baseline_row["pred_saliency_scores"], np.float64)
+        ax.plot(x[: len(base)], _minmax(base)[:L],
+                label="Baseline's Prediction", color=_PAPER["base"][1],
+                linewidth=4)
+    if gap:
+        for t in np.arange(0, duration + gap / 2, gap)[1:-1]:
+            ax.text(t, -0.2, f"{t:.1f}", va="center", ha="center", fontsize=11)
+    off = duration * 0.01
+    ax.text(off, -0.2, "0.0", va="center", ha="center", fontsize=11)
+    ax.text(duration - clip_len - off, -0.2, f"{duration:.1f}", va="center",
+            ha="center", fontsize=11)
+    ax.set_xlim(0, max(duration - clip_len, x[-1] if L else 1.0))
+    ax.set_xticks([])
+    ax.set_yticks([])
+    legend = ax.legend(loc="upper left", bbox_to_anchor=(0, 1.15), ncol=3,
+                       frameon=False, fontsize=13)
+    for line, text in zip(legend.get_lines(), legend.get_texts()):
+        text.set_color(line.get_color())
+    for pos in ("top", "right"):
+        ax.spines[pos].set_visible(False)
+    for pos in ("bottom", "left"):
+        ax.spines[pos].set_linewidth(2)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight", pad_inches=0.2, dpi=100)
+    return fig
+
+
+def plot_frame_strip(video_path, duration, query, out_path=None, n_frames=None):
+    """Frame strip with the query as a banner (plot/qvhl.py:35-89, sans the
+    PIL font pipeline -- matplotlib renders the text). Returns None when the
+    video file is absent (figures still render without the strip)."""
+    if not os.path.exists(video_path):
+        return None
+    import cv2
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if n_frames is None:
+        n_frames = max(2, round(duration / 10))
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    for t in np.linspace(0, max(duration - 0.5, 0.0), n_frames):
+        cap.set(cv2.CAP_PROP_POS_MSEC, t * 1e3)
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        return None
+    fig, axs = plt.subplots(1, len(frames), figsize=(25, 3),
+                            gridspec_kw={"wspace": 0.0, "hspace": 0.0})
+    if len(frames) == 1:
+        axs = [axs]
+    for ax, frame in zip(axs, frames):
+        ax.imshow(frame)
+        ax.axis("off")
+    fig.suptitle(f"QUERY: {query}", fontsize=15, y=1.02)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight", pad_inches=0.1, dpi=100)
+    return fig
+
+
+def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
+                      video_path=None, clip_len: float = 2.0,
+                      seg_num: int = 15, pred_num=None):
+    """One query -> the reference's per-sample figure set (plot/qvhl.py
+    plot_sample, :265-295): {iou}_{n_windows}_{vid}_{qid}/ containing
+    1_mr.jpg, 2_hl.jpg, optional 0_vid.jpg, and combined.jpg."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from univtg_tpu.core.spans import iou_cross_safe
+
+    iou = float(
+        np.asarray(
+            iou_cross_safe(
+                np.asarray([pred_row["pred_relevant_windows"][0][:2]], np.float32),
+                np.asarray([gt_row["relevant_windows"][0]], np.float32),
+            )[0]
+        )[0, 0]
+    )
+    name = "_".join(
+        [f"{round(iou, 2)}", str(len(gt_row["relevant_windows"])),
+         str(gt_row.get("vid", "vid")), str(gt_row.get("qid", "q"))]
+    )
+    save_dir = os.path.join(out_dir, name)
+    os.makedirs(save_dir, exist_ok=True)
+
+    gap = round(float(gt_row["duration"]) / seg_num) or None
+    parts = []
+    if video_path:
+        f = plot_frame_strip(
+            video_path, float(gt_row["duration"]),
+            pred_row.get("query", gt_row.get("query", "")),
+            os.path.join(save_dir, "0_vid.jpg"),
+        )
+        if f is not None:
+            parts.append(os.path.join(save_dir, "0_vid.jpg"))
+            plt.close(f)
+    f = plot_mr_paper(pred_row, gt_row, os.path.join(save_dir, "1_mr.jpg"),
+                      baseline_row, pred_num)
+    plt.close(f)
+    parts.append(os.path.join(save_dir, "1_mr.jpg"))
+    f = plot_hl_paper(pred_row, gt_row, os.path.join(save_dir, "2_hl.jpg"),
+                      baseline_row, clip_len, gap)
+    plt.close(f)
+    parts.append(os.path.join(save_dir, "2_hl.jpg"))
+
+    import matplotlib.image as mpimg
+
+    images = [mpimg.imread(p) for p in parts]
+    heights = [im.shape[0] / im.shape[1] for im in images]
+    fig, axs = plt.subplots(len(images), 1, figsize=(25, 25 * sum(heights)),
+                            gridspec_kw={"height_ratios": heights})
+    if len(images) == 1:
+        axs = [axs]
+    for ax, im in zip(axs, images):
+        ax.imshow(im)
+        ax.axis("off")
+    fig.subplots_adjust(hspace=0.02)
+    fig.savefig(os.path.join(save_dir, "combined.jpg"), bbox_inches="tight",
+                pad_inches=0.1, dpi=80)
+    plt.close(fig)
+    return save_dir
+
+
+def plot_comparison_set(pred_jsonl, gt_jsonl, out_dir, baseline_jsonl=None,
+                        video_dir=None, max_queries: int = 10,
+                        clip_len: float = 2.0, pred_num=None):
+    """Paper-figure batch driver over submission jsonls (the reference ships
+    plot/qvhl/{univtg,momentdetr,gt}.jsonl as inputs for exactly this)."""
+    from univtg_tpu.data.features import load_jsonl
+
+    preds = load_jsonl(pred_jsonl)
+    gts = {r["qid"]: r for r in load_jsonl(gt_jsonl)}
+    bases = (
+        {r["qid"]: r for r in load_jsonl(baseline_jsonl)} if baseline_jsonl else {}
+    )
+    made = []
+    for row in preds:
+        gt = gts.get(row["qid"])
+        if gt is None:
+            continue
+        video_path = (
+            os.path.join(video_dir, f"{gt.get('vid', '')}.mp4") if video_dir else None
+        )
+        made.append(
+            render_comparison(
+                row, gt, out_dir, bases.get(row["qid"]), video_path,
+                clip_len, pred_num=pred_num,
+            )
+        )
+        if len(made) >= max_queries:
+            break
+    return made
+
+
 def plot_submission(
     pred_jsonl: str,
     gt_jsonl: Optional[str],
