@@ -3,9 +3,12 @@
 Measures clips/sec/chip through the full jitted inference path (input
 projections -> 4-layer encoder -> three heads -> dense decode) at the
 reference's released architecture (hidden 1024, slowfast+clip features,
-75-clip QVHighlights videos; scripts/qvhl_pretrain.sh).
+75-clip QVHighlights videos; scripts/qvhl_pretrain.sh), plus the full
+jitted TRAINING step (forward + losses + backward + AdamW) at the same
+shape (reported as extra keys on the same line).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
+"train_clips_per_sec", "train_ms_per_step"}.
 vs_baseline is measured against the BASELINE.json north-star target of
 10_000 clips/sec/chip.
 """
@@ -17,9 +20,85 @@ import jax.numpy as jnp
 import numpy as np
 
 from univtg_tpu.models import ModelConfig, UniVTG
-from univtg_tpu.train.steps import make_eval_step
+from univtg_tpu.models.losses import LossWeights, compute_losses
+from univtg_tpu.train.steps import (
+    forward,
+    init_state,
+    make_eval_step,
+    make_optimizer,
+)
 
 BASELINE_CLIPS_PER_SEC = 10_000.0
+
+
+def bench_train_step(model, cfg, B, Lv, Lt, n_iters):
+    """clips/sec through the full training step, chained inside one XLA
+    program (each step consumes the previous step's params, so iterations
+    cannot be deduped or overlapped by a memoizing runtime)."""
+    optimizer = make_optimizer(lambda s: 1e-4)
+    state0 = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ts = np.tile(((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2))
+    window = np.zeros((B, Lv), np.float32)
+    window[:, Lv // 8 : Lv // 2] = 1
+    nn_sp = np.zeros((B, Lv, 2), np.float32)
+    nn_sp[:, :, 0], nn_sp[:, :, 1] = 1 / 8, 1 / 2
+    mi = {
+        "src_txt": jnp.asarray(rng.standard_normal((B, Lt, cfg.txt_dim)), jnp.float32),
+        "src_txt_mask": jnp.ones((B, Lt), jnp.float32),
+        "src_vid": jnp.asarray(rng.standard_normal((B, Lv, cfg.vid_dim)), jnp.float32),
+        "src_vid_mask": jnp.ones((B, Lv), jnp.float32),
+    }
+    tg = {
+        "timestamp": jnp.asarray(ts, jnp.float32),
+        "timestamp_mask": jnp.ones((B, Lv), jnp.float32),
+        "timestamp_window": jnp.asarray(window),
+        "span_labels_nn": jnp.asarray(nn_sp),
+        "saliency_scores": jnp.asarray(rng.uniform(0, 1, (B, Lv)), jnp.float32),
+        "saliency_pos_labels": np.full((B, 1), Lv // 4, np.int32),
+    }
+    weights = LossWeights()
+
+    def one_step(state, seedlike):
+        mi2 = dict(mi)
+        mi2["src_vid"] = mi["src_vid"] + seedlike * 1e-6
+        drop_rng, path_rng = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(7), state.step)
+        )
+
+        def loss_fn(params):
+            outputs = forward(
+                model, params, mi2, train=True,
+                rngs={"dropout": drop_rng, "droppath": path_rng},
+            )
+            ld = compute_losses(outputs, tg, weights, ("spans", "labels", "saliency"))
+            return ld["loss_overall"], ld
+
+        (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        import optax
+
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            ld,
+        )
+
+    def chained(state, seed, n):
+        def body(i, carry):
+            st, s = carry
+            st, ld = one_step(st, s)
+            return (st, ld["loss_overall"].astype(jnp.float32) * 1e-9 + s)
+
+        return jax.lax.fori_loop(0, n, body, (state, seed))[1]
+
+    run = jax.jit(chained, static_argnums=2)
+    float(np.asarray(run(state0, jnp.float32(-1.0), n_iters)))  # compile+warm
+    t0 = time.perf_counter()
+    r = float(np.asarray(run(state0, jnp.float32(0.0), n_iters)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(r)
+    return B * Lv * n_iters / dt, dt / n_iters * 1e3
 
 
 def main():
@@ -64,7 +143,15 @@ def main():
             mi = dict(model_inputs)
             mi["src_vid"] = model_inputs["src_vid"] + carry * 1e-6
             out = eval_step(params, mi, targets)
-            return out["scores"].mean()
+            # consume EVERY decoded tensor: reducing only `scores` lets XLA
+            # dead-code-eliminate the span head and the saliency path (the
+            # saliency head alone would even drop the whole encoder), which
+            # silently inflates the measured throughput
+            return (
+                out["scores"].mean()
+                + out["spans"].mean() * 1e-3
+                + out["saliency"].mean() * 1e-3
+            )
 
         return jax.lax.fori_loop(0, n, body, seed)
 
@@ -82,6 +169,10 @@ def main():
     assert np.isfinite(result)
 
     clips_per_sec = B * Lv * n_iters / dt
+
+    train_clips, train_ms = bench_train_step(
+        model, cfg, B, Lv, Lt, 20 if platform != "cpu" else 2
+    )
     print(
         json.dumps(
             {
@@ -89,6 +180,9 @@ def main():
                 "value": round(clips_per_sec, 1),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+                "train_clips_per_sec": round(train_clips, 1),
+                "train_ms_per_step": round(train_ms, 3),
+                "train_batch": B,
             }
         )
     )

@@ -78,3 +78,25 @@ def collate_mr(
 
     meta = [it["meta"] for it in items[:n_real]]
     return {"model_inputs": model_inputs, "targets": targets, "meta": meta}
+
+
+def quantize_for_transfer(model_inputs, keys=("src_txt", "src_vid")):
+    """Symmetric per-token int8 quantization of the input features for the
+    host->device transfer (TrainConfig.transfer_dtype='int8').
+
+    Features are L2-normalized per clip (main/dataset.py:680-696), so a
+    per-token max-abs scale keeps the quantization error ~0.6% RMS --
+    indistinguishable in the loss (tests/test_int8_transfer.py) -- while
+    cutting transfer bytes 4x vs float32 (2x vs bfloat16). The jitted step
+    dequantizes on device (train/steps.py:dequantize_inputs); training
+    compute stays in ModelConfig.compute_dtype.
+    """
+    mi = dict(model_inputs)
+    for key in keys:
+        v = np.asarray(mi.pop(key), np.float32)  # (B, L, D)
+        amax = np.abs(v).max(axis=-1)  # (B, L)
+        scale = np.where(amax > 0, amax, 1.0).astype(np.float32) / 127.0
+        q = np.clip(np.rint(v / scale[..., None]), -127, 127).astype(np.int8)
+        mi[key + "_q"] = q
+        mi[key + "_scale"] = scale
+    return mi

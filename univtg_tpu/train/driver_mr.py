@@ -99,7 +99,11 @@ class TrainConfig:
 
 def _strip_meta(batch, transfer_dtype: str = "float32"):
     mi = batch["model_inputs"]
-    if transfer_dtype != "float32":
+    if transfer_dtype == "int8":
+        from univtg_tpu.data.collate import quantize_for_transfer
+
+        mi = quantize_for_transfer(mi)
+    elif transfer_dtype != "float32":
         import ml_dtypes
 
         dt = np.dtype(getattr(ml_dtypes, transfer_dtype, transfer_dtype))

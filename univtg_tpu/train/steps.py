@@ -46,7 +46,22 @@ def init_state(model, cfg, optimizer, rng, batch_shapes=None):
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def dequantize_inputs(model_inputs):
+    """Reconstruct float features from (int8 q, per-token scale) pairs
+    produced by data/collate.quantize_for_transfer (transfer_dtype='int8').
+    Runs inside the jitted step, so the dequant fuses into the first input
+    projection; no-op for float batches."""
+    mi = dict(model_inputs)
+    for key in ("src_txt", "src_vid"):
+        q = mi.pop(key + "_q", None)
+        if q is not None:
+            scale = mi.pop(key + "_scale")
+            mi[key] = q.astype(scale.dtype) * scale[..., None]
+    return mi
+
+
 def forward(model, params, model_inputs, *, train=False, rngs=None):
+    model_inputs = dequantize_inputs(model_inputs)
     args = [
         model_inputs["src_txt"],
         model_inputs["src_txt_mask"],
