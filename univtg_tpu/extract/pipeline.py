@@ -33,12 +33,31 @@ class ClipEncoder:
         self._encode_image = jax.jit(
             lambda p, x: model.apply(p, x, method=CLIP.encode_image)
         )
+
+        def _encode_u8(p, raw):
+            # /255 + CLIP mean/std on DEVICE: raw uint8 frames transfer 4x
+            # fewer bytes than pre-normalized float32 (the serving path is
+            # transfer-bound; docs/PERF.md "Serving latency")
+            from univtg_tpu.extract.video import CLIP_MEAN, CLIP_STD
+
+            x = raw.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+            return model.apply(p, x, method=CLIP.encode_image)
+
+        self._encode_image_u8 = jax.jit(_encode_u8)
         self._encode_text = jax.jit(
             lambda p, t: model.apply(p, t, method=CLIP.encode_text)
         )
 
     def encode_images(self, frames: np.ndarray) -> np.ndarray:
-        """(T, H, W, 3) normalized frames -> (T, embed_dim) features."""
+        """(T, H, W, 3) frames -> (T, embed_dim) features.
+
+        Accepts either pre-normalized float32 frames (preprocess_frames) or
+        raw uint8 frames; uint8 is normalized on device and costs 4x less
+        host->device bandwidth."""
+        encode = (
+            self._encode_image_u8 if frames.dtype == np.uint8 else self._encode_image
+        )
         T = len(frames)
         B = self.image_batch
         out = []
@@ -47,7 +66,7 @@ class ClipEncoder:
             pad = B - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            feats = np.asarray(self._encode_image(self.params, jnp.asarray(chunk)))
+            feats = np.asarray(encode(self.params, jnp.asarray(chunk)))
             out.append(feats[: len(frames[i : i + B])])
         return np.concatenate(out) if out else np.zeros((0, self.cfg.embed_dim), np.float32)
 

@@ -74,13 +74,24 @@ def run_inference(
     round_multiple: int = 1,
     no_sort_results: bool = False,
     eval_step=None,
+    transfer_dtype: str = "float32",
 ):
-    """Run the jitted eval step over a loader; returns submission rows."""
+    """Run the jitted eval step over a loader; returns submission rows.
+
+    transfer_dtype='int8' quantizes input features host-side to cut the
+    host->device transfer 4x (data/collate.quantize_for_transfer); the
+    jitted step dequantizes on device.
+    """
     if eval_step is None:
         eval_step = make_eval_step(model, eval_mode)
     submission = []
     for batch in loader:
-        dev_out = eval_step(params, batch["model_inputs"], batch["targets"])
+        model_inputs = batch["model_inputs"]
+        if transfer_dtype == "int8":
+            from univtg_tpu.data.collate import quantize_for_transfer
+
+            model_inputs = quantize_for_transfer(model_inputs)
+        dev_out = eval_step(params, model_inputs, batch["targets"])
         submission.extend(decode_batch(dev_out, batch["meta"], no_sort_results))
     if round_multiple > 0:
         post = WindowPostProcessor(

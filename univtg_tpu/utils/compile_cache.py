@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache.
+
+Every univtg_tpu entry point (CLI, bench, driver hooks) compiles the same
+handful of large programs -- the flagship train step alone takes minutes to
+build on small hosts, and the reference pays the equivalent CUDA warmup on
+every process start. XLA can serialize compiled executables to disk and
+reload them across processes; this module turns that on with sane defaults.
+
+The cache key covers the HLO, compile options, and backend version, so
+stale entries are never reused after a jax/libtpu upgrade -- the directory
+is safe to keep around indefinitely (entries are content-addressed files;
+delete the directory to reclaim space).
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/univtg_tpu/xla")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Enable the persistent compilation cache (idempotent).
+
+    Precedence: an explicit `cache_dir` argument > whatever is already
+    configured (the JAX_COMPILATION_CACHE_DIR env var or an earlier call) >
+    the default ~/.cache/univtg_tpu/xla. Returns the active directory, or
+    None if jax is too old to support the flags (the call is then a no-op,
+    never an error -- caching is an optimization, not a requirement).
+    """
+    import jax
+
+    try:
+        current = jax.config.jax_compilation_cache_dir
+        if cache_dir is None and current:
+            return current  # env var or earlier call already configured it
+        path = cache_dir or _DEFAULT_DIR
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default min compile time is 1s; programs here are either trivial
+        # (not worth caching) or minutes-long (absolutely worth it)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return path
+    except Exception:  # pragma: no cover - jax without cache support
+        return None
