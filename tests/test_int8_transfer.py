@@ -144,8 +144,10 @@ def test_run_inference_int8_matches_f32():
         np.testing.assert_allclose(wa[:, :2], wb[:, :2], atol=0.5)  # seconds
 
 
-def test_driver_trains_with_int8_transfer(tmp_path):
-    """Full driver epoch loop with transfer_dtype='int8' learns and logs."""
+@pytest.mark.parametrize("scan_steps", [1, 2])
+def test_driver_trains_with_int8_transfer(tmp_path, scan_steps):
+    """Full driver epoch loop with transfer_dtype='int8' learns and logs
+    (both the single-step path and the lax.scan multi-step dispatch)."""
     import json
     import os
 
@@ -173,7 +175,7 @@ def test_driver_trains_with_int8_transfer(tmp_path):
         results_dir=str(tmp_path / "run"),
         bsz=8, eval_bsz=8, n_epoch=2, eval_epoch=2, lr=3e-4, lr_warmup=1,
         lr_drop=100, max_es_cnt=100, save_interval=-1,
-        transfer_dtype="int8",
+        transfer_dtype="int8", scan_steps=scan_steps,
     )
     metrics, best_path = train_mr(cfg)
     assert os.path.exists(best_path)

@@ -93,8 +93,12 @@ class TrainConfig:
     # "auto" = {results_dir}/tb)
     tensorboard_dir: str = ""
     # dtype for host->device feature transfer ("bfloat16" halves input
-    # bandwidth; compute already runs in ModelConfig.compute_dtype)
+    # bandwidth; "int8" quarters it via per-token quantization; compute
+    # always runs in ModelConfig.compute_dtype)
     transfer_dtype: str = "float32"
+    # batches prepared + device_put ahead of consumption in a background
+    # thread (data/prefetch.py); 0 disables, 2 = double buffering
+    prefetch_depth: int = 2
 
 
 def _strip_meta(batch, transfer_dtype: str = "float32"):
@@ -272,7 +276,7 @@ def train_mr(
                 for batch in train_loader:
                     pending.append(batch)
                     if len(pending) == cfg.scan_steps:
-                        smi, stg = stack_batches(pending)
+                        smi, stg = stack_batches(pending, cfg.transfer_dtype)
                         state, metrics = scan_step(
                             state,
                             shard_batch(mesh, smi, batch_axis=1),
@@ -293,10 +297,17 @@ def train_mr(
                     n_steps += 1
                     record(metrics)
             else:
-                for batch in train_loader:
-                    model_inputs, targets = _strip_meta(batch, cfg.transfer_dtype)
-                    model_inputs = shard_batch(mesh, model_inputs)
-                    targets = shard_batch(mesh, targets)
+                from univtg_tpu.data.prefetch import device_prefetch
+
+                def _prep(batch):
+                    mi, tg = _strip_meta(batch, cfg.transfer_dtype)
+                    return shard_batch(mesh, mi), shard_batch(mesh, tg)
+
+                # background thread quantizes/casts + device_puts batch N+1
+                # while the device runs step N (double buffering)
+                for model_inputs, targets in device_prefetch(
+                    train_loader, _prep, cfg.prefetch_depth
+                ):
                     state, metrics = train_step(state, model_inputs, targets, rng)
                     n_steps += 1
                     record(metrics)

@@ -163,12 +163,27 @@ def make_scan_train_step(
     return jax.jit(scan_step, donate_argnums=(0,))
 
 
-def stack_batches(batches):
+def stack_batches(batches, transfer_dtype: str = "float32"):
     """List of K collated batches -> stacked (model_inputs, targets) pytrees
-    with a leading K axis (meta is dropped)."""
+    with a leading K axis (meta is dropped). transfer_dtype applies the same
+    host->device compression as the single-step path (driver_mr._strip_meta):
+    'bfloat16' casts features, 'int8' quantizes per token (the scan body's
+    forward() dequantizes on device)."""
     import numpy as np
 
     mis = [b["model_inputs"] for b in batches]
+    if transfer_dtype == "int8":
+        from univtg_tpu.data.collate import quantize_for_transfer
+
+        mis = [quantize_for_transfer(mi) for mi in mis]
+    elif transfer_dtype != "float32":
+        import ml_dtypes
+
+        dt = np.dtype(getattr(ml_dtypes, transfer_dtype, transfer_dtype))
+        mis = [
+            {k: (v.astype(dt) if k in ("src_txt", "src_vid") else v) for k, v in mi.items()}
+            for mi in mis
+        ]
     tgs = [b["targets"] for b in batches]
     stack = lambda *xs: np.stack(xs)
     return (
