@@ -44,6 +44,10 @@ class ModelConfig:
     # rematerialize encoder layers in the backward pass (jax.checkpoint):
     # trades recompute FLOPs for activation memory on long-video batches
     remat: bool = False
+    # run the encoder stack as ONE lax.scan over stacked layer params:
+    # trace/compile time becomes O(1) in depth (see models/encoder.py);
+    # checkpoints convert via encoder.stack_layer_params
+    scan_layers: bool = False
 
     @property
     def dtype(self):

@@ -92,8 +92,54 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class _ScanUnit(nn.Module):
+    """One encoder layer shaped for nn.scan: (carry, broadcast...) ->
+    (carry, None). `train` is a static attribute (nn.scan cannot broadcast
+    Python-bool call kwargs)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float
+    droppath: float
+    pre_norm: bool
+    attention_impl: str
+    dtype: jnp.dtype
+    seq_shard: bool
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask, pos):
+        x = EncoderLayer(
+            self.dim,
+            self.num_heads,
+            self.ffn_dim,
+            self.dropout,
+            self.droppath,
+            self.pre_norm,
+            self.attention_impl,
+            self.dtype,
+            name="layer",
+        )(x, key_padding_mask, pos, train=self.train)
+        if self.seq_shard:
+            from univtg_tpu.parallel.mesh import seq_constraint
+
+            x = seq_constraint(x)
+        return x, None
+
+
 class Encoder(nn.Module):
-    """N-layer encoder over the concatenated [video; text] token sequence."""
+    """N-layer encoder over the concatenated [video; text] token sequence.
+
+    scan_layers=True runs the layer stack as ONE lax.scan over stacked
+    parameters (encoder/layers/layer/* with a leading layer axis) instead of
+    N unrolled layers: the XLA program contains one layer body, so trace +
+    compile time are O(1) in depth -- minutes saved per program on deep or
+    compile-bound configs. Numerics match the unrolled stack exactly in
+    eval mode (tests/test_scan_layers.py); in train mode the per-layer
+    dropout/droppath RNG split differs from the unrolled fold (same
+    distribution). Use models.encoder.stack_layer_params to convert
+    unrolled checkpoints."""
 
     dim: int
     num_layers: int
@@ -106,11 +152,38 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     seq_shard: bool = False
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
         if self.seq_shard:
             from univtg_tpu.parallel.mesh import seq_constraint
+
+        if self.scan_layers:
+            unit = nn.remat(_ScanUnit) if self.remat else _ScanUnit
+            scan = nn.scan(
+                unit,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "droppath": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )
+            x, _ = scan(
+                self.dim,
+                self.num_heads,
+                self.ffn_dim,
+                self.dropout,
+                self.droppath,
+                self.pre_norm,
+                self.attention_impl,
+                self.dtype,
+                self.seq_shard,
+                train,
+                name="layers",
+            )(x, key_padding_mask, pos)
+            if self.pre_norm:
+                x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(x)
+            return x
 
         for i in range(self.num_layers):
             layer = EncoderLayer(
@@ -137,3 +210,27 @@ class Encoder(nn.Module):
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(x)
         return x
+
+
+def stack_layer_params(encoder_params: dict, num_layers: int) -> dict:
+    """Unrolled encoder params {'layers_0': ..., 'layers_N-1': ...} ->
+    scan layout {'layers': {'layer': <stacked leading axis>}} (other keys,
+    e.g. final_norm, pass through). Inverse: unstack_layer_params."""
+    per_layer = [encoder_params[f"layers_{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+    rest = {
+        k: v for k, v in encoder_params.items() if not k.startswith("layers_")
+    }
+    return {**rest, "layers": {"layer": stacked}}
+
+
+def unstack_layer_params(encoder_params: dict) -> dict:
+    """Scan-layout encoder params -> unrolled {'layers_i': ...} layout."""
+    stacked = encoder_params["layers"]["layer"]
+    num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    out = {
+        k: v for k, v in encoder_params.items() if k != "layers"
+    }
+    for i in range(num_layers):
+        out[f"layers_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+    return out

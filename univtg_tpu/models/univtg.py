@@ -89,6 +89,7 @@ class UniVTG(nn.Module):
             dtype,
             cfg.seq_shard,
             cfg.remat,
+            cfg.scan_layers,
             name="encoder",
         )(src, mask, pos, train=train)
         # Mask the conv heads at every layer: stacked k=3 convs have a +-3

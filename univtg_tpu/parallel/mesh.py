@@ -48,6 +48,13 @@ _TP_RULES = (
     (re.compile(r"encoder/layers_\d+/linear1/kernel$"), P(None, "tp")),
     (re.compile(r"encoder/layers_\d+/linear1/bias$"), P("tp")),
     (re.compile(r"encoder/layers_\d+/linear2/kernel$"), P("tp", None)),
+    # scan_layers layout: same matrices with a leading stacked-layer axis
+    (re.compile(r"encoder/layers/layer/in_proj_kernel$"), P(None, None, "tp")),
+    (re.compile(r"encoder/layers/layer/in_proj_bias$"), P(None, "tp")),
+    (re.compile(r"encoder/layers/layer/out_kernel$"), P(None, "tp", None)),
+    (re.compile(r"encoder/layers/layer/linear1/kernel$"), P(None, None, "tp")),
+    (re.compile(r"encoder/layers/layer/linear1/bias$"), P(None, "tp")),
+    (re.compile(r"encoder/layers/layer/linear2/kernel$"), P(None, "tp", None)),
 )
 
 
