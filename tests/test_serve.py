@@ -167,3 +167,32 @@ def test_end_to_end_video_grounding():
     assert 0 <= out["top1_window"][0] <= out["duration"]
     assert len(out["topk_windows"]) == 5
     assert 0 <= out["top1_highlight"] <= out["duration"]
+
+
+def test_ground_features_many_matches_single(fixture_feats):
+    """Batched multi-query serving returns per-query results identical to
+    the single-query path, across mixed text buckets."""
+    vid, txt = fixture_feats
+    ref = build_ref()
+    params = params_from_torch_state_dict(ref.state_dict(), CFG)
+    pipe = GroundingPipeline(CFG, params["params"], clip_len=2.0, buckets=[16, 32])
+
+    rng = np.random.default_rng(4)
+    queries = [
+        txt,                                      # bucket 32
+        txt[:5] + 0.1,                            # bucket 32, different text
+        rng.standard_normal((40, txt.shape[1])).astype(np.float32),  # bucket 77
+    ]
+    many = pipe.ground_features_many(vid, queries)
+    assert len(many) == 3
+    for q, got in zip(queries, many):
+        want = pipe.ground_features(vid, q)
+        np.testing.assert_allclose(got["top1_window"], want["top1_window"], atol=1e-4)
+        np.testing.assert_allclose(
+            [w[2] for w in got["topk_windows"]],
+            [w[2] for w in want["topk_windows"]],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(got["saliency"], want["saliency"], atol=1e-4)
+        assert got["duration"] == want["duration"]
+    assert pipe.ground_features_many(vid, []) == []

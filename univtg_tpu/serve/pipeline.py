@@ -98,6 +98,62 @@ class GroundingPipeline:
             "duration": ctx_l * self.clip_len,
         }
 
+    def ground_features_many(
+        self, vid_feats: np.ndarray, txt_feats_list: Sequence[np.ndarray], top_k: int = 5
+    ):
+        """Batch-serve N queries against ONE video in a single forward:
+        the prepared video row is tiled over the batch dim, queries pad to
+        a common bucket. Reuses the same compiled program as the
+        single-query path for matching (bucketed) shapes. Returns one
+        grounding dict per query (identical to ground_features per query,
+        tests/test_serve.py)."""
+        N = len(txt_feats_list)
+        if N == 0:
+            return []
+        preps = [self._prepare(vid_feats, t) for t in txt_feats_list]
+        # queries may land in different text buckets (32 vs 77) -- group by
+        # bucket so each group is one fwd with static shapes
+        results: list = [None] * N
+        by_bucket: dict = {}
+        for i, p in enumerate(preps):
+            by_bucket.setdefault(p[2].shape[0], []).append(i)
+        for idxs in by_bucket.values():
+            vid = np.stack([preps[i][0] for i in idxs])
+            vid_mask = np.stack([preps[i][1] for i in idxs])
+            txt = np.stack([preps[i][2] for i in idxs])
+            txt_mask = np.stack([preps[i][3] for i in idxs])
+            ts = np.stack([preps[i][4] for i in idxs])
+            out = self._fwd(
+                self.params,
+                jnp.asarray(txt),
+                jnp.asarray(txt_mask),
+                jnp.asarray(vid),
+                jnp.asarray(vid_mask),
+                jnp.asarray(ts),
+            )
+            scores_all = np.asarray(out["scores"])
+            spans_all = np.asarray(out["spans"])
+            sal_all = np.asarray(out["saliency"])
+            for row, i in enumerate(idxs):
+                ctx_l = preps[i][5]
+                duration = ctx_l * self.clip_len
+                scores = scores_all[row, :ctx_l]
+                spans = np.clip(spans_all[row, :ctx_l] * duration, 0, duration)
+                saliency = sal_all[row, :ctx_l]
+                order = np.argsort(-scores, kind="stable")[:top_k]
+                windows = [
+                    [float(spans[j, 0]), float(spans[j, 1]), float(scores[j])]
+                    for j in order
+                ]
+                results[i] = {
+                    "top1_window": windows[0][:2],
+                    "topk_windows": windows,
+                    "saliency": saliency,
+                    "top1_highlight": float(np.argmax(saliency) * self.clip_len),
+                    "duration": duration,
+                }
+        return results
+
     def ground_video(self, video_path: str, query: str, top_k: int = 5):
         """Raw video + text query -> grounding (requires a clip_encoder)."""
         assert self.clip_encoder is not None, "construct with clip_encoder"
