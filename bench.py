@@ -59,7 +59,7 @@ def bench_train_step(model, cfg, B, Lv, Lt, n_iters):
     }
     weights = LossWeights()
 
-    def one_step(state, seedlike):
+    def one_step(state, mi, tg, seedlike):
         mi2 = dict(mi)
         mi2["src_vid"] = mi["src_vid"] + seedlike * 1e-6
         drop_rng, path_rng = jax.random.split(
@@ -84,18 +84,22 @@ def bench_train_step(model, cfg, B, Lv, Lt, n_iters):
             ld,
         )
 
-    def chained(state, seed, n):
+    # inputs/targets go through as jit ARGUMENTS, not closure constants:
+    # with the persistent compilation cache enabled, captured constants are
+    # embedded in the serialized compile request, which remote-compile
+    # tunnels reject for multi-MB programs (HTTP 413)
+    def chained(state, mi, tg, seed, n):
         def body(i, carry):
             st, s = carry
-            st, ld = one_step(st, s)
+            st, ld = one_step(st, mi, tg, s)
             return (st, ld["loss_overall"].astype(jnp.float32) * 1e-9 + s)
 
         return jax.lax.fori_loop(0, n, body, (state, seed))[1]
 
-    run = jax.jit(chained, static_argnums=2)
-    float(np.asarray(run(state0, jnp.float32(-1.0), n_iters)))  # compile+warm
+    run = jax.jit(chained, static_argnums=4)
+    float(np.asarray(run(state0, mi, tg, jnp.float32(-1.0), n_iters)))  # compile+warm
     t0 = time.perf_counter()
-    r = float(np.asarray(run(state0, jnp.float32(0.0), n_iters)))
+    r = float(np.asarray(run(state0, mi, tg, jnp.float32(0.0), n_iters)))
     dt = time.perf_counter() - t0
     assert np.isfinite(r)
     return B * Lv * n_iters / dt, dt / n_iters * 1e3

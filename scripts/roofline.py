@@ -49,22 +49,29 @@ def flagship_flops_fwd(B, Lv=75, Lt=32, D=1024, Dv=2818, Dt=512, ffn=1024, layer
     return 2 * B * (proj + enc + heads)
 
 
-def time_chained(name, body, init, n, flops_per_iter=None):
-    """body(i, carry) -> carry; carry is (pytree, scalar) or scalar."""
+def time_chained(name, body, init, n, flops_per_iter=None, consts=()):
+    """body(consts, i, carry) -> carry; carry is (pytree, scalar) or scalar.
 
-    def chained(seed, n):
+    `consts` (params, inputs, ...) MUST hold every large array the body
+    reads: they pass through jit as ARGUMENTS. Closing over them instead
+    embeds them as captured constants in the serialized compile request,
+    which remote-compile tunnels reject for multi-MB programs (HTTP 413)
+    once the persistent compilation cache is enabled.
+    """
+
+    def chained(consts, init, seed, n):
         start = (init[0], init[1] + seed) if isinstance(init, tuple) else init + seed
-        return jax.lax.fori_loop(0, n, body, start)
+        return jax.lax.fori_loop(0, n, lambda i, c: body(consts, i, c), start)
 
-    run = jax.jit(chained, static_argnums=1)
+    run = jax.jit(chained, static_argnums=3)
 
     def fetch(out):
         leaf = out[1] if isinstance(out, tuple) else out
         return float(np.asarray(leaf))
 
-    fetch(run(jnp.float32(-1.0), n))  # compile + warm
+    fetch(run(consts, init, jnp.float32(-1.0), n))  # compile + warm
     t0 = time.perf_counter()
-    r = fetch(run(jnp.float32(0.0), n))
+    r = fetch(run(consts, init, jnp.float32(0.0), n))
     dt = time.perf_counter() - t0
     assert np.isfinite(r)
     extra = ""
@@ -80,13 +87,17 @@ def run_calib():
     A = jnp.ones((M, M), jnp.bfloat16)
     B_ = jnp.ones((M, M), jnp.bfloat16) * 0.001
 
-    def body(i, carry):
+    def body(consts, i, carry):
+        A, B_ = consts
         A2 = A + carry.astype(jnp.bfloat16) * 1e-6
         # consume the WHOLE product: reading one element lets XLA DCE the
         # matmul down to a single dot product (measured 500+ "TFLOP/s")
         return (A2 @ B_).mean().astype(jnp.float32)
 
-    time_chained("calib bf16 4096^3 matmul", body, jnp.float32(0.0), 100, 2 * M**3)
+    time_chained(
+        "calib bf16 4096^3 matmul", body, jnp.float32(0.0), 100, 2 * M**3,
+        consts=(A, B_),
+    )
 
 
 def run_conv():
@@ -99,11 +110,15 @@ def run_conv():
     hp = head.init(jax.random.PRNGKey(0), x, mask)["params"]
     flops = Bc * L * 6 * D * D * 2
 
-    def body(i, carry):
+    def body(consts, i, carry):
+        hp, x, mask = consts
         out = head.apply({"params": hp}, x + carry.astype(jnp.bfloat16) * 1e-6, mask)
         return out.mean().astype(jnp.float32)
 
-    time_chained("ConvHead nn.Conv k=3 (B=256,L=75,D=1024)", body, jnp.float32(0.0), 50, flops)
+    time_chained(
+        "ConvHead nn.Conv k=3 (B=256,L=75,D=1024)", body, jnp.float32(0.0), 50,
+        flops, consts=(hp, x, mask),
+    )
 
     def conv_as_matmul(params, x, mask):
         m = mask[..., None].astype(x.dtype)
@@ -119,11 +134,15 @@ def run_conv():
             x = x * m
         return x
 
-    def body2(i, carry):
+    def body2(consts, i, carry):
+        hp, x, mask = consts
         out = conv_as_matmul(hp, x + carry.astype(jnp.bfloat16) * 1e-6, mask)
         return out.mean().astype(jnp.float32)
 
-    time_chained("ConvHead as 3 shifted matmuls", body2, jnp.float32(0.0), 50, flops)
+    time_chained(
+        "ConvHead as 3 shifted matmuls", body2, jnp.float32(0.0), 50, flops,
+        consts=(hp, x, mask),
+    )
 
 
 def _flagship():
@@ -167,7 +186,8 @@ def run_fwd():
         mi["src_vid_mask"], train=False,
     )["params"]
 
-    def body(i, carry):
+    def body(consts, i, carry):
+        params, mi = consts
         out = model.apply(
             {"params": params}, mi["src_txt"], mi["src_txt_mask"],
             mi["src_vid"] + carry * 1e-6, mi["src_vid_mask"], train=False,
@@ -182,7 +202,10 @@ def run_fwd():
         )
         return consume.astype(jnp.float32) * 1e-9 + carry
 
-    time_chained(f"fwd B={B}", body, jnp.float32(0.0), 40, flagship_flops_fwd(B))
+    time_chained(
+        f"fwd B={B}", body, jnp.float32(0.0), 40, flagship_flops_fwd(B),
+        consts=(params, mi),
+    )
 
 
 def run_train():
@@ -195,7 +218,7 @@ def run_train():
     for B, n in ((32, 30), (256, 20)):
         mi, tg = _batch(B, cfg)
 
-        def one_step(state, seedlike):
+        def one_step(state, mi, tg, seedlike):
             mi2 = dict(mi)
             mi2["src_vid"] = mi["src_vid"] + seedlike * 1e-6
             drop_rng, path_rng = jax.random.split(
@@ -220,14 +243,15 @@ def run_train():
                 ld,
             )
 
-        def body(i, carry):
+        def body(consts, i, carry):
+            mi, tg = consts
             st, s = carry
-            st, ld = one_step(st, s)
+            st, ld = one_step(st, mi, tg, s)
             return (st, ld["loss_overall"].astype(jnp.float32) * 1e-9 + s)
 
         dt = time_chained(
             f"train step B={B}", body, (state0, jnp.float32(0.0)), n,
-            3 * flagship_flops_fwd(B),
+            3 * flagship_flops_fwd(B), consts=(mi, tg),
         )
         print(f"    -> {B * 75 / dt:12.0f} training clips/sec/chip", flush=True)
 
@@ -248,7 +272,8 @@ def run_long():
         mi["src_vid_mask"], train=False,
     )["params"]
 
-    def body(i, carry):
+    def body(consts, i, carry):
+        params, mi = consts
         out = model.apply(
             {"params": params}, mi["src_txt"], mi["src_txt_mask"],
             mi["src_vid"] + carry * 1e-6, mi["src_vid_mask"], train=False,
@@ -263,6 +288,7 @@ def run_long():
     dt = time_chained(
         f"fwd long-video B={B} Lv={Lv} ({cfg.attention_impl})", body,
         jnp.float32(0.0), 30, flagship_flops_fwd(B, Lv=Lv, Lt=Lt),
+        consts=(params, mi),
     )
     print(f"    -> {B * Lv / dt:12.0f} inference clips/sec/chip", flush=True)
 
