@@ -55,6 +55,30 @@ def test_cache_entries_written_and_reused(tmp_path):
     assert len(os.listdir(cache_dir)) > len(entries)
 
 
+def test_disabled_on_tunneled_backend(tmp_path):
+    """On the axon remote-compile tunnel the cache never reloads (measured);
+    enable_compilation_cache must no-op there."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import os, sys; sys.path.insert(0, sys.argv[1]);"
+        "os.environ['PALLAS_AXON_POOL_IPS'] = '10.0.0.1';"
+        "os.environ['JAX_PLATFORMS'] = 'axon';"
+        "from univtg_tpu.utils.compile_cache import enable_compilation_cache;"
+        "assert enable_compilation_cache(sys.argv[2]) is None;"
+        "print('GUARD_OK')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, repo, str(tmp_path / "nocache")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "GUARD_OK" in r.stdout
+    assert not os.path.exists(str(tmp_path / "nocache"))
+
+
 def test_explicit_dir_wins_and_is_idempotent(tmp_path):
     # in-process: explicit argument must override and report back
     import jax

@@ -29,6 +29,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """
     import jax
 
+    # Tunneled/remote-compile PJRT backends (axon) compile through a relay
+    # service that cannot reload serialized executables -- entries get
+    # written but never hit (measured: identical cold-compile time with and
+    # without the cache). Skip there; CPU and directly-attached TPU reload
+    # fine.
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get(
+        "JAX_PLATFORMS", ""
+    ).lower() not in ("cpu",):
+        return None
+
     try:
         current = jax.config.jax_compilation_cache_dir
         if cache_dir is None and current:
