@@ -13,6 +13,7 @@ vs_baseline is measured against the BASELINE.json north-star target of
 10_000 clips/sec/chip.
 """
 import json
+import os
 import time
 
 import jax
@@ -20,95 +21,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from univtg_tpu.models import ModelConfig, UniVTG
-from univtg_tpu.models.losses import LossWeights, compute_losses
-from univtg_tpu.train.steps import (
-    forward,
-    init_state,
-    make_eval_step,
-    make_optimizer,
-)
+from univtg_tpu.train.steps import make_eval_step, make_optimizer
 
 BASELINE_CLIPS_PER_SEC = 10_000.0
 
 
 def bench_train_step(model, cfg, B, Lv, Lt, n_iters):
-    """clips/sec through the full training step, chained inside one XLA
-    program (each step consumes the previous step's params, so iterations
-    cannot be deduped or overlapped by a memoizing runtime)."""
+    """clips/sec through the full training step. Shared harness:
+    univtg_tpu/utils/benchkit.py (chained anti-memoization methodology,
+    arguments-not-closures discipline)."""
+    from univtg_tpu.utils.benchkit import time_chained_train
+
     optimizer = make_optimizer(lambda s: 1e-4)
-    state0 = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
-    ts = np.tile(((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2))
-    window = np.zeros((B, Lv), np.float32)
-    window[:, Lv // 8 : Lv // 2] = 1
-    nn_sp = np.zeros((B, Lv, 2), np.float32)
-    nn_sp[:, :, 0], nn_sp[:, :, 1] = 1 / 8, 1 / 2
-    mi = {
-        "src_txt": jnp.asarray(rng.standard_normal((B, Lt, cfg.txt_dim)), jnp.float32),
-        "src_txt_mask": jnp.ones((B, Lt), jnp.float32),
-        "src_vid": jnp.asarray(rng.standard_normal((B, Lv, cfg.vid_dim)), jnp.float32),
-        "src_vid_mask": jnp.ones((B, Lv), jnp.float32),
-    }
-    tg = {
-        "timestamp": jnp.asarray(ts, jnp.float32),
-        "timestamp_mask": jnp.ones((B, Lv), jnp.float32),
-        "timestamp_window": jnp.asarray(window),
-        "span_labels_nn": jnp.asarray(nn_sp),
-        "saliency_scores": jnp.asarray(rng.uniform(0, 1, (B, Lv)), jnp.float32),
-        "saliency_pos_labels": np.full((B, 1), Lv // 4, np.int32),
-    }
-    weights = LossWeights()
-
-    def one_step(state, mi, tg, seedlike):
-        mi2 = dict(mi)
-        mi2["src_vid"] = mi["src_vid"] + seedlike * 1e-6
-        drop_rng, path_rng = jax.random.split(
-            jax.random.fold_in(jax.random.PRNGKey(7), state.step)
-        )
-
-        def loss_fn(params):
-            outputs = forward(
-                model, params, mi2, train=True,
-                rngs={"dropout": drop_rng, "droppath": path_rng},
-            )
-            ld = compute_losses(outputs, tg, weights, ("spans", "labels", "saliency"))
-            return ld["loss_overall"], ld
-
-        (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        import optax
-
-        params = optax.apply_updates(state.params, updates)
-        return (
-            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
-            ld,
-        )
-
-    # inputs/targets go through as jit ARGUMENTS, not closure constants:
-    # with the persistent compilation cache enabled, captured constants are
-    # embedded in the serialized compile request, which remote-compile
-    # tunnels reject for multi-MB programs (HTTP 413)
-    def chained(state, mi, tg, seed, n):
-        def body(i, carry):
-            st, s = carry
-            st, ld = one_step(st, mi, tg, s)
-            return (st, ld["loss_overall"].astype(jnp.float32) * 1e-9 + s)
-
-        return jax.lax.fori_loop(0, n, body, (state, seed))[1]
-
-    run = jax.jit(chained, static_argnums=4)
-    float(np.asarray(run(state0, mi, tg, jnp.float32(-1.0), n_iters)))  # compile+warm
-    t0 = time.perf_counter()
-    r = float(np.asarray(run(state0, mi, tg, jnp.float32(0.0), n_iters)))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(r)
-    return B * Lv * n_iters / dt, dt / n_iters * 1e3
+    return time_chained_train(model, cfg, optimizer, B, n_iters, Lv=Lv, Lt=Lt)
 
 
 def main():
     from univtg_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    t_start = time.perf_counter()
     platform = jax.devices()[0].platform
     compute_dtype = "bfloat16" if platform != "cpu" else "float32"
     cfg = ModelConfig(
@@ -177,22 +109,28 @@ def main():
 
     clips_per_sec = B * Lv * n_iters / dt
 
-    train_clips, train_ms = bench_train_step(
-        model, cfg, B, Lv, Lt, 20 if platform != "cpu" else 2
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "grounding_throughput",
-                "value": round(clips_per_sec, 1),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
-                "train_clips_per_sec": round(train_clips, 1),
-                "train_ms_per_step": round(train_ms, 3),
-                "train_batch": B,
-            }
+    line = {
+        "metric": "grounding_throughput",
+        "value": round(clips_per_sec, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+        "train_batch": B,
+    }
+    # The training-step program is a second multi-minute compile. When the
+    # remote-compile service is degraded (observed: a trivial program taking
+    # 8 minutes on a bad day), attempting it could blow the harness timeout
+    # and lose the WHOLE line -- skip it if the inference phase already
+    # consumed most of a conservative budget, and say so in the line.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    if time.perf_counter() - t_start < budget * 0.45:
+        train_clips, train_ms = bench_train_step(
+            model, cfg, B, Lv, Lt, 20 if platform != "cpu" else 2
         )
-    )
+        line["train_clips_per_sec"] = round(train_clips, 1)
+        line["train_ms_per_step"] = round(train_ms, 3)
+    else:
+        line["train_skipped"] = "compile service too slow this run"
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

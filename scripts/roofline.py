@@ -34,8 +34,8 @@ import numpy as np
 sys.path.insert(0, ".")  # repo root
 
 from univtg_tpu.models import ModelConfig, UniVTG  # noqa: E402
-from univtg_tpu.models.losses import LossWeights, compute_losses  # noqa: E402
-from univtg_tpu.train.steps import forward, init_state, make_optimizer  # noqa: E402
+
+from univtg_tpu.train.steps import make_optimizer  # noqa: E402
 
 V5E_BF16_PEAK = 197e12  # marketing peak, one v5e chip
 
@@ -55,8 +55,7 @@ def time_chained(name, body, init, n, flops_per_iter=None, consts=()):
     `consts` (params, inputs, ...) MUST hold every large array the body
     reads: they pass through jit as ARGUMENTS. Closing over them instead
     embeds them as captured constants in the serialized compile request,
-    which remote-compile tunnels reject for multi-MB programs (HTTP 413)
-    once the persistent compilation cache is enabled.
+    which remote-compile tunnels reject past ~256 MB (HTTP 413).
     """
 
     def chained(consts, init, seed, n):
@@ -209,51 +208,21 @@ def run_fwd():
 
 
 def run_train():
+    from univtg_tpu.utils.benchkit import time_chained_train
+
     cfg = _flagship()
     model = UniVTG(cfg)
     optimizer = make_optimizer(lambda s: 1e-4)
-    weights = LossWeights()
-    state0 = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
 
     for B, n in ((32, 30), (256, 20)):
-        mi, tg = _batch(B, cfg)
-
-        def one_step(state, mi, tg, seedlike):
-            mi2 = dict(mi)
-            mi2["src_vid"] = mi["src_vid"] + seedlike * 1e-6
-            drop_rng, path_rng = jax.random.split(
-                jax.random.fold_in(jax.random.PRNGKey(7), state.step)
-            )
-
-            def loss_fn(params):
-                outputs = forward(
-                    model, params, mi2, train=True,
-                    rngs={"dropout": drop_rng, "droppath": path_rng},
-                )
-                ld = compute_losses(outputs, tg, weights, ("spans", "labels", "saliency"))
-                return ld["loss_overall"], ld
-
-            import optax
-
-            (_, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return (
-                state.replace(params=params, opt_state=opt_state, step=state.step + 1),
-                ld,
-            )
-
-        def body(consts, i, carry):
-            mi, tg = consts
-            st, s = carry
-            st, ld = one_step(st, mi, tg, s)
-            return (st, ld["loss_overall"].astype(jnp.float32) * 1e-9 + s)
-
-        dt = time_chained(
-            f"train step B={B}", body, (state0, jnp.float32(0.0)), n,
-            3 * flagship_flops_fwd(B), consts=(mi, tg),
+        clips, ms = time_chained_train(model, cfg, optimizer, B, n)
+        tf = 3 * flagship_flops_fwd(B) / (ms / 1e3) / 1e12
+        print(
+            f"{f'train step B={B}':42s} {ms:9.3f} ms/iter  {tf:7.2f} TFLOP/s "
+            f"({tf * 1e12 / V5E_BF16_PEAK * 100:5.1f}% of v5e peak)",
+            flush=True,
         )
-        print(f"    -> {B * 75 / dt:12.0f} training clips/sec/chip", flush=True)
+        print(f"    -> {clips:12.0f} training clips/sec/chip", flush=True)
 
 
 def run_long():

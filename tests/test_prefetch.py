@@ -58,6 +58,34 @@ def test_overlaps_producer_and_consumer():
     assert len(produced) >= 3  # 0 consumed + 2 queued ahead
 
 
+def test_abandoned_generator_releases_worker():
+    """Closing the generator early (consumer exception / break) must stop
+    the worker thread and drop its queued items instead of leaving it
+    blocked in q.put holding device batches."""
+    import threading
+    import time
+
+    produced = []
+
+    def transform(x):
+        produced.append(x)
+        return x
+
+    it = device_prefetch(range(1000), transform, depth=2)
+    assert next(it) == 0
+    n_before = threading.active_count()
+    it.close()  # what a `break`/exception in the consumer loop does
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate() if t.name == "device-prefetch"]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not [t for t in threading.enumerate() if t.name == "device-prefetch"]
+    # the worker stopped early: nowhere near the full 1000 items produced
+    assert len(produced) < 50
+
+
 def test_driver_prefetch_matches_no_prefetch(tmp_path):
     """Same data, same seed: prefetch_depth=2 and =0 produce identical
     training losses (prefetch must not change semantics)."""

@@ -43,22 +43,47 @@ def device_prefetch(
         return
 
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that aborts if the consumer went away -- otherwise an
+        # abandoned generator (exception in the training step, early break)
+        # would leave the worker blocked in q.put forever, pinning `depth`
+        # device-resident batches in HBM for the life of the process
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(transform(item) if transform else item)
-            q.put(_SENTINEL)
+                if stop.is_set():
+                    return
+                if not _put(transform(item) if transform else item):
+                    return
+            _put(_SENTINEL)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True, name="device-prefetch")
     t.start()
-    while True:
-        out = q.get()
-        if out is _SENTINEL:
-            break
-        if isinstance(out, BaseException):
-            raise out
-        yield out
-    t.join()
+    try:
+        while True:
+            out = q.get()
+            if out is _SENTINEL:
+                break
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+    finally:
+        stop.set()
+        while not q.empty():  # release buffered batches promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

@@ -18,7 +18,7 @@ import numpy as np
 
 from univtg_tpu.extract.clip.model import CLIP, CLIPConfig
 from univtg_tpu.extract.clip.tokenizer import tokenize
-from univtg_tpu.extract.video import decode_frames, preprocess_frames
+from univtg_tpu.extract.video import decode_frames
 
 
 class ClipEncoder:
@@ -93,9 +93,12 @@ class ClipEncoder:
 
 def vid2clip(encoder: ClipEncoder, video_path: str, save_dir: Optional[str] = None,
              clip_len: float = 2.0) -> np.ndarray:
-    """Video file -> (T, embed_dim) clip features (video_extractor.py:19-77)."""
+    """Video file -> (T, embed_dim) clip features (video_extractor.py:19-77).
+
+    Frames go to the device as raw uint8 (normalized on device) -- 4x fewer
+    transfer bytes than host-normalized float32."""
     frames, _ = decode_frames(video_path, clip_len=clip_len)
-    feats = encoder.encode_images(preprocess_frames(frames))
+    feats = encoder.encode_images(frames)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         np.savez(os.path.join(save_dir, "vid.npz"), features=feats)

@@ -72,22 +72,15 @@ class GroundingPipeline:
 
     def ground_features(self, vid_feats: np.ndarray, txt_feats: np.ndarray, top_k: int = 5):
         """(T, Dv) clip features + (L, Dt) token features -> grounding dict."""
-        vid, vid_mask, txt, txt_mask, ts, ctx_l = self._prepare(vid_feats, txt_feats)
-        out = self._fwd(
-            self.params,
-            jnp.asarray(txt[None]),
-            jnp.asarray(txt_mask[None]),
-            jnp.asarray(vid[None]),
-            jnp.asarray(vid_mask[None]),
-            jnp.asarray(ts[None]),
-        )
-        scores = np.asarray(out["scores"])[0, :ctx_l]
+        return self.ground_features_many(vid_feats, [txt_feats], top_k)[0]
+
+    def _decode_row(self, scores, spans, saliency, ctx_l: int, top_k: int):
+        scores = scores[:ctx_l]
         duration = ctx_l * self.clip_len
         # clamp like the batch-eval path (main/inference_mr.py:153); the
         # reference demo skips this and can emit negative timestamps
-        spans = np.clip(np.asarray(out["spans"])[0, :ctx_l] * duration, 0, duration)
-        saliency = np.asarray(out["saliency"])[0, :ctx_l]
-
+        spans = np.clip(spans[:ctx_l] * duration, 0, duration)
+        saliency = saliency[:ctx_l]
         order = np.argsort(-scores, kind="stable")[:top_k]
         windows = [[float(spans[i, 0]), float(spans[i, 1]), float(scores[i])] for i in order]
         return {
@@ -95,63 +88,54 @@ class GroundingPipeline:
             "topk_windows": windows,
             "saliency": saliency,
             "top1_highlight": float(np.argmax(saliency) * self.clip_len),
-            "duration": ctx_l * self.clip_len,
+            "duration": duration,
         }
 
     def ground_features_many(
         self, vid_feats: np.ndarray, txt_feats_list: Sequence[np.ndarray], top_k: int = 5
     ):
-        """Batch-serve N queries against ONE video in a single forward:
-        the prepared video row is tiled over the batch dim, queries pad to
-        a common bucket. Reuses the same compiled program as the
-        single-query path for matching (bucketed) shapes. Returns one
-        grounding dict per query (identical to ground_features per query,
-        tests/test_serve.py)."""
+        """Batch-serve N queries against ONE video. The video is prepared
+        once and tiled over the batch dim; queries group by text bucket
+        (32/77), and the batch dim pads to a power-of-two ladder so a
+        server sees a handful of compiled programs, not one per request
+        size. Returns one grounding dict per query (identical to
+        ground_features per query, tests/test_serve.py)."""
         N = len(txt_feats_list)
         if N == 0:
             return []
-        preps = [self._prepare(vid_feats, t) for t in txt_feats_list]
-        # queries may land in different text buckets (32 vs 77) -- group by
-        # bucket so each group is one fwd with static shapes
+        # video prep is query-independent: do it once (it dominates host
+        # cost for long videos)
+        vid, vid_mask, _, _, ts, ctx_l = self._prepare(vid_feats, txt_feats_list[0])
+
         results: list = [None] * N
         by_bucket: dict = {}
-        for i, p in enumerate(preps):
-            by_bucket.setdefault(p[2].shape[0], []).append(i)
-        for idxs in by_bucket.values():
-            vid = np.stack([preps[i][0] for i in idxs])
-            vid_mask = np.stack([preps[i][1] for i in idxs])
-            txt = np.stack([preps[i][2] for i in idxs])
-            txt_mask = np.stack([preps[i][3] for i in idxs])
-            ts = np.stack([preps[i][4] for i in idxs])
+        for i, t in enumerate(txt_feats_list):
+            txt = l2_normalize(np.asarray(t, np.float32))
+            Lt = bucket_length(len(txt), [32, 77])
+            mask = np.zeros(Lt, np.float32)
+            mask[: len(txt)] = 1
+            txt = np.pad(txt, ((0, Lt - len(txt)), (0, 0)))
+            by_bucket.setdefault(Lt, []).append((i, txt, mask))
+        for group in by_bucket.values():
+            n = len(group)
+            nb = 1 << (n - 1).bit_length()  # pad batch to the pow-2 ladder
+            txt = np.stack([g[1] for g in group] + [group[-1][1]] * (nb - n))
+            txt_mask = np.stack([g[2] for g in group] + [group[-1][2]] * (nb - n))
             out = self._fwd(
                 self.params,
                 jnp.asarray(txt),
                 jnp.asarray(txt_mask),
-                jnp.asarray(vid),
-                jnp.asarray(vid_mask),
-                jnp.asarray(ts),
+                jnp.asarray(np.broadcast_to(vid, (nb,) + vid.shape)),
+                jnp.asarray(np.broadcast_to(vid_mask, (nb,) + vid_mask.shape)),
+                jnp.asarray(np.broadcast_to(ts, (nb,) + ts.shape)),
             )
             scores_all = np.asarray(out["scores"])
             spans_all = np.asarray(out["spans"])
             sal_all = np.asarray(out["saliency"])
-            for row, i in enumerate(idxs):
-                ctx_l = preps[i][5]
-                duration = ctx_l * self.clip_len
-                scores = scores_all[row, :ctx_l]
-                spans = np.clip(spans_all[row, :ctx_l] * duration, 0, duration)
-                saliency = sal_all[row, :ctx_l]
-                order = np.argsort(-scores, kind="stable")[:top_k]
-                windows = [
-                    [float(spans[j, 0]), float(spans[j, 1]), float(scores[j])]
-                    for j in order
-                ]
-                results[i] = {
-                    "top1_window": windows[0][:2],
-                    "topk_windows": windows,
-                    "saliency": saliency,
-                    "top1_highlight": float(np.argmax(saliency) * self.clip_len),
-                    "duration": duration,
-                }
+            for row, (i, _, _) in enumerate(group):
+                results[i] = self._decode_row(
+                    scores_all[row], spans_all[row], sal_all[row], ctx_l, top_k
+                )
         return results
 
     def ground_video(self, video_path: str, query: str, top_k: int = 5):

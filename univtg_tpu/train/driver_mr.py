@@ -390,6 +390,7 @@ def _eval_once(cfg, model, state, eval_ds, eval_step, epoch):
         clip_length=cfg.eval_data.clip_len,
         round_multiple=cfg.round_multiple,
         eval_step=eval_step,
+        transfer_dtype=cfg.transfer_dtype,
     )
     sub_path = os.path.join(cfg.results_dir, "latest_val_preds.jsonl")
     save_jsonl(submission, sub_path)

@@ -91,6 +91,14 @@ def run_inference(
             from univtg_tpu.data.collate import quantize_for_transfer
 
             model_inputs = quantize_for_transfer(model_inputs)
+        elif transfer_dtype != "float32":
+            import ml_dtypes
+
+            dt = np.dtype(getattr(ml_dtypes, transfer_dtype, transfer_dtype))
+            model_inputs = {
+                k: (v.astype(dt) if k in ("src_txt", "src_vid") else v)
+                for k, v in model_inputs.items()
+            }
         dev_out = eval_step(params, model_inputs, batch["targets"])
         submission.extend(decode_batch(dev_out, batch["meta"], no_sort_results))
     if round_multiple > 0:

@@ -34,9 +34,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     # written but never hit (measured: identical cold-compile time with and
     # without the cache). Skip there; CPU and directly-attached TPU reload
     # fine.
-    if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get(
-        "JAX_PLATFORMS", ""
-    ).lower() not in ("cpu",):
+    platforms = {
+        p.strip().lower()
+        for p in os.environ.get("JAX_PLATFORMS", "").split(",")
+        if p.strip()
+    }
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and platforms != {"cpu"}:
         return None
 
     try:
