@@ -18,9 +18,11 @@ inference mirrors main/inference_mr.py:87-193 (eval_mode=add, round_multiple).
 """
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+# importable from any cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -33,7 +35,9 @@ def main():
     ap.add_argument("--clip-len", type=float, default=2.0)
     ap.add_argument("--eval-bsz", type=int, default=32)
     ap.add_argument("--eval-mode", default="add")
-    ap.add_argument("--round-multiple", type=int, default=2)
+    # reference inference defaults (scripts/qvhl_inference.sh:41,52):
+    # no clip-multiple rounding; NMS at 0.7 reported as SECONDARY metrics
+    ap.add_argument("--round-multiple", type=int, default=-1)
     ap.add_argument("--nms-thd", type=float, default=0.7)
     ap.add_argument("--out", default="reproduce_metrics.json")
     args = ap.parse_args()
@@ -82,9 +86,13 @@ def main():
         clip_length=args.clip_len,
         round_multiple=args.round_multiple,
     )
-    if args.nms_thd > 0:
-        submission = apply_nms(submission, args.nms_thd, 10, 10)
+    # Headline model.md metrics are computed on the PRE-NMS submission (the
+    # reference evaluates `submission` at main/inference_mr.py:50 and the
+    # NMS'd copy separately at :72); mirroring that exactly here.
     metrics = evaluate_submission(submission, ds.data)
+    if args.nms_thd > 0:
+        nms_submission = apply_nms(submission, args.nms_thd, 10, 10)
+        metrics["metrics_nms"] = evaluate_submission(nms_submission, ds.data)["brief"]
     brief = metrics["brief"]
     print(json.dumps(brief, indent=1))
     with open(args.out, "w") as f:

@@ -102,3 +102,20 @@ def test_checkpoint_roundtrip(corpus, tmp_path):
     assert len(jax.tree_util.tree_leaves(params)) == len(
         jax.tree_util.tree_leaves(state.params)
     )
+
+
+def test_early_stop_breaks_loop(corpus, tmp_path):
+    """max_es_cnt early stopping exits the epoch loop (the stop decision is
+    computed under the rank-0 guard and applied outside it -- the
+    multi-process broadcast path shares this code)."""
+    import dataclasses
+
+    results = str(tmp_path / "es")
+    cfg = dataclasses.replace(
+        make_cfg(corpus, results),
+        n_epoch=10, eval_epoch=1, max_es_cnt=1, lr=0.0, lr_warmup=0,
+    )
+    train_mr(cfg)
+    lines = [json.loads(l) for l in open(os.path.join(results, "train_log.jsonl"))]
+    # epoch 0 sets best; epoch 1 cannot improve (lr=0) -> stop. Not 10 epochs.
+    assert len(lines) == 2

@@ -144,44 +144,8 @@ def _resnet_visual(sd, cfg: CLIPConfig):
     return visual
 
 
-def clip_params_from_torch_state_dict(sd, cfg: CLIPConfig):
-    if cfg.is_resnet:
-        visual = _resnet_visual(sd, cfg)
-        text = {
-            "token_embedding": _np(sd["token_embedding.weight"]),
-            "positional_embedding": _np(sd["positional_embedding"]),
-            "ln_final": {
-                "scale": _np(sd["ln_final.weight"]),
-                "bias": _np(sd["ln_final.bias"]),
-            },
-            "text_projection": _np(sd["text_projection"]),
-        }
-        for i in range(cfg.transformer_layers):
-            text[f"resblocks_{i}"] = _block(sd, f"transformer.resblocks.{i}")
-        return {
-            "params": {
-                "visual": visual,
-                "text": text,
-                "logit_scale": _np(sd["logit_scale"]),
-            }
-        }
-    visual = {
-        "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": {
-            "scale": _np(sd["visual.ln_pre.weight"]),
-            "bias": _np(sd["visual.ln_pre.bias"]),
-        },
-        "ln_post": {
-            "scale": _np(sd["visual.ln_post.weight"]),
-            "bias": _np(sd["visual.ln_post.bias"]),
-        },
-        "proj": _np(sd["visual.proj"]),
-    }
-    for i in range(cfg.vision_layers):
-        visual[f"resblocks_{i}"] = _block(sd, f"visual.transformer.resblocks.{i}")
-
+def _text_params(sd, cfg: CLIPConfig):
+    """Text tower conversion, shared by the ViT and ResNet CLIP variants."""
     text = {
         "token_embedding": _np(sd["token_embedding.weight"]),
         "positional_embedding": _np(sd["positional_embedding"]),
@@ -193,11 +157,34 @@ def clip_params_from_torch_state_dict(sd, cfg: CLIPConfig):
     }
     for i in range(cfg.transformer_layers):
         text[f"resblocks_{i}"] = _block(sd, f"transformer.resblocks.{i}")
+    return text
+
+
+def clip_params_from_torch_state_dict(sd, cfg: CLIPConfig):
+    if cfg.is_resnet:
+        visual = _resnet_visual(sd, cfg)
+    else:
+        visual = {
+            "conv1": {"kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+            "class_embedding": _np(sd["visual.class_embedding"]),
+            "positional_embedding": _np(sd["visual.positional_embedding"]),
+            "ln_pre": {
+                "scale": _np(sd["visual.ln_pre.weight"]),
+                "bias": _np(sd["visual.ln_pre.bias"]),
+            },
+            "ln_post": {
+                "scale": _np(sd["visual.ln_post.weight"]),
+                "bias": _np(sd["visual.ln_post.bias"]),
+            },
+            "proj": _np(sd["visual.proj"]),
+        }
+        for i in range(cfg.vision_layers):
+            visual[f"resblocks_{i}"] = _block(sd, f"visual.transformer.resblocks.{i}")
 
     return {
         "params": {
             "visual": visual,
-            "text": text,
+            "text": _text_params(sd, cfg),
             "logit_scale": _np(sd["logit_scale"]),
         }
     }

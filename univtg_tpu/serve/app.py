@@ -59,11 +59,18 @@ def build_callbacks(pipeline):
     def extract(video_path, workdir: Optional[str] = None):
         if not video_path:
             return "Upload a video first."
-        if not os.path.exists(video_path) and "/" not in video_path:
-            # bare YouTube id typed into the video box (main_gradio.py:201)
-            video_path = download_video(
-                video_path, os.path.join(workdir or ".", "input.mp4")
-            )
+        if not os.path.exists(video_path):
+            # bare YouTube id typed into the video box (main_gradio.py:201):
+            # ids are exactly 11 URL-safe chars -- anything else that doesn't
+            # exist on disk is a typo'd path, not a download request
+            import re
+
+            if "://" in video_path or re.fullmatch(r"[A-Za-z0-9_-]{11}", video_path):
+                video_path = download_video(
+                    video_path, os.path.join(workdir or ".", "input.mp4")
+                )
+            else:
+                return f"File not found: {video_path}"
         state["features"] = vid2clip(
             pipeline.clip_encoder, video_path, clip_len=pipeline.clip_len
         )

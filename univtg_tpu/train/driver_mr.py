@@ -260,14 +260,26 @@ def train_mr(
             t0 = time.time()
             n_steps = 0
             # Exact per-epoch means (the reference's AverageMeter semantics,
-            # main/train_mr.py:36-49): every step's metrics are recorded as
-            # device scalars ((K,) arrays for scan dispatches) and fetched in
-            # one device_get at epoch end, so recording never forces a
-            # host sync inside the hot loop.
+            # main/train_mr.py:36-49): step metrics stay as device scalars
+            # ((K,) arrays for scan dispatches) and are fetched in CHUNKS of
+            # a few hundred steps, so recording never forces a per-step host
+            # sync but also never accumulates an epoch's worth of live
+            # device buffers (131k steps/epoch at pretraining scale).
             pending_metrics = []
+            agg, counts = {}, {}
+
+            def _flush_pending():
+                for metrics in jax.device_get(pending_metrics):
+                    for k, v in metrics.items():
+                        arr = np.asarray(v)
+                        agg[k] = agg.get(k, 0.0) + float(arr.sum())
+                        counts[k] = counts.get(k, 0) + int(arr.size)
+                pending_metrics.clear()
 
             def record(metrics):
                 pending_metrics.append(metrics)
+                if len(pending_metrics) >= 512:
+                    _flush_pending()
 
             if scan_step is not None:
                 from univtg_tpu.train.steps import stack_batches
@@ -314,12 +326,7 @@ def train_mr(
             dt = time.time() - t0
             # per-key counts: scan and single-step metrics can differ in key
             # sets (e.g. grad_norm is single-step only)
-            agg, counts = {}, {}
-            for metrics in jax.device_get(pending_metrics):
-                for k, v in metrics.items():
-                    arr = np.asarray(v)
-                    agg[k] = agg.get(k, 0.0) + float(arr.sum())
-                    counts[k] = counts.get(k, 0) + int(arr.size)
+            _flush_pending()
             line = {
                 "epoch": epoch,
                 "time": dt,
@@ -332,23 +339,38 @@ def train_mr(
             logger.info(f"epoch {epoch}: {line}")
 
         is_main = cfg.shard_index == 0  # rank-0-only eval/ckpt (SURVEY.md 3.3)
-        if is_main and eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0:
-            metrics = _eval_once(cfg, model, state, eval_ds, eval_step, epoch)
-            eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
-            eval_log.flush()
-            tb.scalars(metrics["brief"], epoch, prefix="eval/")
-            score = metrics["brief"].get(f"{cfg.main_metric}-key")
-            if score is None:
-                score = metrics["brief"].get(cfg.main_metric)
-            ckpt.save_checkpoint(latest_path, state, epoch, cfg_json)
-            if score is not None and score > best_score:
-                best_score, best_metrics, es_cnt = score, metrics, 0
-                ckpt.save_checkpoint(best_path, state, epoch, cfg_json)
-            else:
-                es_cnt += 1
-                if 0 <= cfg.max_es_cnt <= es_cnt:
-                    logger.info("early stop")
-                    break
+        do_eval = eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0
+        stop = False
+        if do_eval:
+            # ALL processes pull host-addressable params off the global mesh
+            # (a collective when tp shards params across hosts); only rank 0
+            # then runs the actual evaluation.
+            eval_params = _host_eval_params(mesh, state.params)
+            if is_main:
+                metrics = _eval_once(cfg, model, eval_params, eval_ds, eval_step, epoch)
+                eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
+                eval_log.flush()
+                tb.scalars(metrics["brief"], epoch, prefix="eval/")
+                score = metrics["brief"].get(f"{cfg.main_metric}-key")
+                if score is None:
+                    score = metrics["brief"].get(cfg.main_metric)
+                ckpt.save_checkpoint(latest_path, state, epoch, cfg_json)
+                if score is not None and score > best_score:
+                    best_score, best_metrics, es_cnt = score, metrics, 0
+                    ckpt.save_checkpoint(best_path, state, epoch, cfg_json)
+                else:
+                    es_cnt += 1
+                    stop = 0 <= cfg.max_es_cnt <= es_cnt
+            if jax.process_count() > 1:
+                # rank 0's early-stop decision must reach every process, or
+                # the others enter the next epoch's global train step and
+                # deadlock waiting for a rank that already exited the loop
+                from jax.experimental import multihost_utils
+
+                stop = bool(multihost_utils.broadcast_one_to_all(np.asarray(stop)))
+        if stop:
+            logger.info("early stop")
+            break
         if cfg.save_interval > 0 and epoch > 0 and epoch % cfg.save_interval == 0:
             ckpt.save_checkpoint(
                 os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
@@ -366,7 +388,25 @@ def train_mr(
     return best_metrics, best_path
 
 
-def _eval_once(cfg, model, state, eval_ds, eval_step, epoch):
+def _host_eval_params(mesh, params):
+    """Host-addressable params for rank-0 evaluation.
+
+    Single-process: pass through. Multi-process: a jitted identity with
+    fully-replicated out_shardings -- a COLLECTIVE every process must
+    execute -- gathers tp-sharded leaves (which otherwise span
+    non-addressable devices and make np.asarray raise), then fetches to
+    numpy so the eval jit is process-local."""
+    if jax.process_count() <= 1:
+        return params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    out_sh = jax.tree_util.tree_map(lambda _: rep, params)
+    gathered = jax.jit(lambda p: p, out_shardings=out_sh)(params)
+    return jax.tree_util.tree_map(np.asarray, gathered)
+
+
+def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
     eval_loader = Loader(
         eval_ds,
         cfg.eval_bsz,
@@ -376,12 +416,6 @@ def _eval_once(cfg, model, state, eval_ds, eval_step, epoch):
         shuffle=False,
         num_threads=cfg.num_io_threads,
     )
-    # multi-process: eval runs on the main process only (the reference's
-    # rank-0 eval, train_vlp_ddp.py:127-195); pull the (host-addressable)
-    # params off the global mesh so the eval jit is process-local
-    params = state.params
-    if jax.process_count() > 1:
-        params = jax.tree_util.tree_map(np.asarray, params)
     submission = run_inference(
         model,
         params,
