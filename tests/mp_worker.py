@@ -15,9 +15,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_cfg(meta: dict, results_dir: str):
+def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
     """Shared between the workers and the single-process baseline so both
-    train the exact same config."""
+    train the exact same config. mode='evaltp' additionally enables rank-0
+    zero-shot evaluation and Megatron tp=2 (params sharded ACROSS the two
+    processes), exercising the collective param gather + early-stop
+    broadcast in driver_mr (train_vlp_ddp.py:127-195 rank-0 eval)."""
     from univtg_tpu.data.vlp import VLPCorpusSpec, VLPDataConfig
     from univtg_tpu.models import ModelConfig
     from univtg_tpu.train.driver_vlp import VLPTrainConfig
@@ -59,14 +62,35 @@ def build_cfg(meta: dict, results_dir: str):
         max_v_l=a["max_clips"],
         max_q_l=10,
     )
+    eval_data = None
+    tp = 1
+    eval_epoch = 10  # no eval dataset in plain "train" mode
+    if mode == "evaltp":
+        from univtg_tpu.data.mr import MRDataConfig
+
+        eval_data = MRDataConfig(
+            dset_name="qvhighlights",
+            data_path=a["val_path"],
+            v_feat_dirs=tuple(a["v_feat_dirs"]),
+            q_feat_dir=a["q_feat_dir"],
+            q_feat_dim=a["q_dim"],
+            v_feat_dim=a["v_dim"],
+            clip_len=a["clip_len"],
+            max_q_l=10,
+            max_v_l=a["max_clips"],
+        )
+        tp = 2  # dp=2 x tp=2 over the 4 global devices: params span hosts
+        eval_epoch = 2  # evaluate on the final epoch
     return VLPTrainConfig(
         model=model,
         vlp_data=vlp_data,
+        eval_data=eval_data,
         results_dir=results_dir,
         bsz=8,  # per-process; global batch = 8 * process_count
         eval_bsz=8,
         n_epoch=2,
-        eval_epoch=10,  # no eval dataset anyway
+        eval_epoch=eval_epoch,
+        tp=tp,
         lr=3e-4,
         lr_warmup=1,
         lr_drop=100,
@@ -98,7 +122,8 @@ def main():
     assert len(jax.devices()) == 2 * nproc, jax.devices()
     assert len(jax.local_devices()) == 2
 
-    cfg = build_cfg(meta, os.path.join(results_base, f"p{pid}"))
+    mode = sys.argv[6] if len(sys.argv) > 6 else "train"
+    cfg = build_cfg(meta, os.path.join(results_base, f"p{pid}"), mode)
     train_vlp(cfg)
     print(f"worker {pid} done", flush=True)
 

@@ -146,3 +146,44 @@ def test_two_process_vlp_matches_virtual_two_host(corpus_meta, tmp_path):
             want,
         )
         assert mp_line["steps"] == len(losses)
+
+
+@pytest.mark.slow
+def test_two_process_tp_sharded_eval(corpus_meta, tmp_path):
+    """2-process gang with tp=2 (encoder matrices sharded ACROSS hosts) and
+    rank-0 zero-shot eval at the final epoch: exercises the collective
+    param gather (_host_eval_params) and the early-stop broadcast -- the
+    two multi-process paths a dp-only run never touches."""
+    port = _free_port()
+    results = str(tmp_path / "mp_evaltp")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tests", "mp_worker.py"),
+                str(pid), "2", str(port), corpus_meta, results, "evaltp",
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"worker {pid} done" in out
+
+    # rank 0 evaluated and checkpointed; rank 1 did not (rank-0-only guard)
+    eval_log = os.path.join(results, "p0", "eval_log.jsonl")
+    lines = [json.loads(l) for l in open(eval_log)]
+    assert len(lines) == 1 and "MR-full-mAP-key" in lines[0]
+    assert np.isfinite(lines[0]["MR-full-mAP-key"])
+    assert os.path.exists(os.path.join(results, "p0", "model_best.ckpt"))
+    p1_eval = os.path.join(results, "p1", "eval_log.jsonl")
+    assert not os.path.exists(p1_eval) or not open(p1_eval).read().strip()
