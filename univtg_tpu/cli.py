@@ -103,6 +103,7 @@ def cmd_infer_mr(args):
         eval_mode=cfg.eval_mode,
         clip_length=cfg.eval_data.clip_len,
         round_multiple=cfg.round_multiple,
+        transfer_dtype=cfg.transfer_dtype,
     )
     out = args.out or "inference_preds.jsonl"
     save_jsonl(submission, out)
