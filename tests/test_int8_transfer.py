@@ -183,3 +183,45 @@ def test_driver_trains_with_int8_transfer(tmp_path, scan_steps):
     assert len(lines) == 2
     assert np.isfinite(lines[-1]["loss_overall"])
     assert lines[-1]["loss_overall"] < lines[0]["loss_overall"]
+
+
+def test_eval_ignores_train_transfer_compression(tmp_path, monkeypatch):
+    """transfer_dtype='int8' speeds TRAINING transfer only: the in-loop
+    evaluation (checkpoint selection + reported metrics) runs at
+    transfer_dtype_eval, default float32 (ADVICE r2)."""
+    from univtg_tpu.data.mr import MRDataConfig
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+    from univtg_tpu.models import ModelConfig
+    from univtg_tpu.train import driver_mr
+    from univtg_tpu.train.driver_mr import TrainConfig, train_mr
+
+    corpus = create_synthetic_mr_corpus(str(tmp_path / "corpus"), n_train=8, n_val=4, seed=5)
+    model = ModelConfig(
+        vid_dim=corpus["v_dim"] + 2, txt_dim=corpus["q_dim"], hidden_dim=32,
+        num_layers=1, num_heads=4, ffn_dim=48, droppath=0.0, input_dropout=0.0,
+        max_v_l=corpus["max_clips"], max_q_l=10,
+    )
+    data_kw = dict(
+        dset_name="qvhighlights", v_feat_dirs=corpus["v_feat_dirs"],
+        q_feat_dir=corpus["q_feat_dir"], q_feat_dim=corpus["q_dim"],
+        v_feat_dim=corpus["v_dim"], clip_len=corpus["clip_len"],
+        max_q_l=10, max_v_l=corpus["max_clips"],
+    )
+    cfg = TrainConfig(
+        model=model,
+        train_data=MRDataConfig(data_path=corpus["train_path"], **data_kw),
+        eval_data=MRDataConfig(data_path=corpus["val_path"], **data_kw),
+        results_dir=str(tmp_path / "run"),
+        bsz=8, eval_bsz=8, n_epoch=1, eval_epoch=1, lr=3e-4, lr_warmup=1,
+        lr_drop=100, save_interval=-1, transfer_dtype="int8",
+    )
+    seen = []
+    orig = driver_mr.run_inference
+
+    def spy(*args, **kw):
+        seen.append(kw.get("transfer_dtype", "float32"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(driver_mr, "run_inference", spy)
+    train_mr(cfg)
+    assert seen == ["float32"]

@@ -27,11 +27,26 @@ def test_long_video_forward():
     vm = np.ones((B, Lv), np.float32)
     vm[1, 700:] = 0
     params = model.init(rng, txt, tm, vid, vm, train=False)["params"]
-    out = jax.jit(lambda p: model.apply({"params": p}, txt, tm, vid, vm, train=False))(params)
+    fwd = jax.jit(
+        lambda p, v: model.apply({"params": p}, txt, tm, v, vm, train=False)
+    )
+    out = fwd(params, vid)
     assert out["pred_logits"].shape == (B, Lv, 1)
     assert np.isfinite(np.asarray(out["pred_spans"])).all()
-    # masked positions contribute ~0 scores
-    assert np.allclose(np.asarray(out["pred_logits"])[1, 700:, 0], 0.5, atol=1e-6) or True
+    # masked positions are excluded from the saliency ranking: the additive
+    # log-mask (model/univtg.py:147, layers.mask_log) contributes
+    # log(1e-45) ~= -103.28, far below any cosine similarity in [-1, 1]
+    assert (np.asarray(out["saliency_scores"])[1, 700:] < -100.0).all()
+    # masking invariant: garbage in the padded region must not change ANY
+    # output at valid positions (attention bias + per-conv-layer masking)
+    vid_garbage = vid.copy()
+    vid_garbage[1, 700:] = 1e3
+    out2 = fwd(params, vid_garbage)
+    for key in ("pred_logits", "pred_spans", "saliency_scores"):
+        a = np.asarray(out[key])
+        b = np.asarray(out2[key])
+        np.testing.assert_allclose(a[1, :700], b[1, :700], atol=1e-5, err_msg=key)
+        np.testing.assert_allclose(a[0], b[0], atol=1e-5, err_msg=key)
 
 
 def test_remat_forward_and_grad_match():

@@ -196,3 +196,46 @@ def test_ground_features_many_matches_single(fixture_feats):
         np.testing.assert_allclose(got["saliency"], want["saliency"], atol=1e-4)
         assert got["duration"] == want["duration"]
     assert pipe.ground_features_many(vid, []) == []
+
+
+def test_serve_decode_equals_batch_eval_decode(fixture_feats):
+    """Serve and batch-eval run the SAME decode (train/steps.
+    decode_dense_outputs, incl. the fp16 saliency parity cast): identical
+    inputs through both surfaces produce identical tensors."""
+    import jax
+    import jax.numpy as jnp
+
+    from univtg_tpu.models import UniVTG
+    from univtg_tpu.train.steps import make_eval_step
+
+    vid_raw, txt_raw = fixture_feats
+    ref = build_ref()
+    params = params_from_torch_state_dict(ref.state_dict(), CFG)["params"]
+
+    for eval_mode in (None, "add"):
+        pipe = GroundingPipeline(
+            CFG, params, clip_len=2.0, buckets=[16, 32], eval_mode=eval_mode
+        )
+        vid, vid_mask, txt, txt_mask, ts, ctx_l = pipe._prepare(vid_raw, txt_raw)
+        serve_out = pipe._fwd(
+            params,
+            jnp.asarray(txt[None]), jnp.asarray(txt_mask[None]),
+            jnp.asarray(vid[None]), jnp.asarray(vid_mask[None]),
+            jnp.asarray(ts[None]),
+        )
+
+        eval_step = make_eval_step(UniVTG(CFG), eval_mode=eval_mode)
+        eval_out = eval_step(
+            params,
+            {
+                "src_txt": jnp.asarray(txt[None]),
+                "src_txt_mask": jnp.asarray(txt_mask[None]),
+                "src_vid": jnp.asarray(vid[None]),
+                "src_vid_mask": jnp.asarray(vid_mask[None]),
+            },
+            {"timestamp": jnp.asarray(ts[None])},
+        )
+        for key in ("scores", "spans", "saliency"):
+            np.testing.assert_array_equal(
+                np.asarray(serve_out[key]), np.asarray(eval_out[key]), err_msg=key
+            )

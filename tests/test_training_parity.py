@@ -229,3 +229,104 @@ def test_moment_detr_sgd_loss_curves_match():
         j_losses.append(float(j_loss))
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4)
+
+
+def test_sub_as_query_sgd_loss_curves_match():
+    """Sub-as-query corpora (no annotator scores, PARITY.md divergence note
+    #11): saliency_scores is the binary timestamp_window and the positive is
+    drawn from its nonzeros (main/dataset.py:553-557). Coupled SGD on batches
+    built exactly that way pins the branch's training dynamics."""
+    cfg = ModelConfig(
+        **{
+            **PARITY_CFG.__dict__,
+            "dropout": 0.0,
+            "droppath": 0.0,
+            "input_dropout": 0.0,
+        }
+    )
+    ref = build_ref_model(cfg)
+    ref.train()
+    params = params_from_torch_state_dict(ref.state_dict(), cfg)["params"]
+    model = UniVTG(cfg)
+    weights = LossWeights(b=10, g=1, f=10, s_intra=0.1, s_inter=0.1)
+    wd = weights.as_dict()
+    crit = SetCriterion(
+        matcher=None, weight_dict=wd, eos_coef=0.1,
+        losses=["spans", "labels", "saliency"], temperature=0.07,
+        span_loss_type="l1", max_v_l=cfg.max_v_l, saliency_margin=1,
+    )
+    lr = 0.05
+    opt_t = torch.optim.SGD(ref.parameters(), lr=lr)
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        mi, tg = batch
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p},
+                mi["src_txt"], mi["src_txt_mask"], mi["src_vid"], mi["src_vid_mask"],
+                train=True,
+            )
+            return compute_losses(out, tg, weights)["loss_overall"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    B, Lv, Lt = 3, cfg.max_v_l, 8
+    ts = ((np.arange(Lv) + 0.5) / Lv).astype(np.float32)
+    torch_losses, jax_losses = [], []
+    for i in range(3):
+        rng = np.random.default_rng(300 + i)
+        # sub-as-query supervision: one GT window, binary saliency
+        window = np.zeros((B, Lv), np.float32)
+        span_nn = np.zeros((B, Lv, 2), np.float32)
+        pos = np.zeros((B, 1), np.int64)
+        neg = np.zeros((B, 1), np.int64)
+        for b in range(B):
+            st = int(rng.integers(0, Lv - 5))
+            ed = int(rng.integers(st + 2, min(st + 8, Lv)))
+            window[b, st : ed + 1] = 1
+            span_nn[b, st : ed + 1] = [ts[st] - 0.4 / Lv, ts[ed] + 0.4 / Lv]
+            # positive re-drawn uniformly from window nonzeros (the override)
+            pos[b, 0] = int(rng.choice(np.flatnonzero(window[b])))
+            pool = np.flatnonzero(window[b] == 0)
+            neg[b, 0] = int(rng.choice(pool))
+        targets = {
+            "timestamp": np.tile(ts[None, :, None], (B, 1, 2)).astype(np.float32),
+            "timestamp_mask": np.ones((B, Lv), np.float32),
+            "timestamp_window": window,
+            "span_labels_nn": span_nn,
+            "saliency_scores": window.copy(),  # binary, = timestamp_window
+            "saliency_pos_labels": pos,
+            "saliency_neg_labels": neg,
+        }
+        vid = rng.standard_normal((B, Lv, cfg.vid_dim)).astype(np.float32)
+        txt = rng.standard_normal((B, Lt, cfg.txt_dim)).astype(np.float32)
+        vm = np.ones((B, Lv), np.float32)
+        tm = np.ones((B, Lt), np.float32)
+
+        opt_t.zero_grad()
+        t_out = ref(
+            src_txt=torch.from_numpy(txt), src_txt_mask=torch.from_numpy(tm),
+            src_vid=torch.from_numpy(vid), src_vid_mask=torch.from_numpy(vm),
+        )
+        t_tgt = {k: torch.from_numpy(np.asarray(v)) for k, v in targets.items()}
+        ld = crit(t_out, t_tgt)
+        t_loss = sum(ld[k] * wd[k] for k in ld if k in wd)
+        t_loss.backward()
+        opt_t.step()
+        torch_losses.append(float(t_loss))
+
+        mi = {
+            "src_txt": jnp.asarray(txt), "src_txt_mask": jnp.asarray(tm),
+            "src_vid": jnp.asarray(vid), "src_vid_mask": jnp.asarray(vm),
+        }
+        tg = {k: jnp.asarray(np.asarray(v)) for k, v in targets.items()}
+        params, opt_state, j_loss = step(params, opt_state, (mi, tg))
+        jax_losses.append(float(j_loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-4)

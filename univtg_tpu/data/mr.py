@@ -285,6 +285,13 @@ class MRDataset:
                 pos, neg = sample_saliency_sub_as_query(
                     windows[0], ctx_l, cfg.clip_len, rng
                 )
+                # The reference DISCARDS the sub-as-query positive and
+                # re-draws uniformly from the nonzeros of timestamp_window
+                # (main/dataset.py:556-557: `random.choice(torch.where(
+                # model_inputs['saliency_scores'])[0])` where saliency_scores
+                # is timestamp_window). Mirror that override exactly; the
+                # negative from the window-derived pool above is kept, as
+                # upstream keeps its get_saliency_labels_sub_as_query neg.
                 nz = np.flatnonzero(window_mask)
                 pos = [int(rng.choice(nz))]
             item["saliency_pos_labels"] = np.asarray(pos, np.int32)

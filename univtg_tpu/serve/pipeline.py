@@ -34,20 +34,27 @@ class GroundingPipeline:
         clip_len: float = 2.0,
         buckets: Optional[Sequence[int]] = None,
         clip_encoder=None,
+        eval_mode: Optional[str] = None,
     ):
+        """eval_mode=None matches the reference demo (raw saliency,
+        main_gradio.py:103); 'add' matches the batch evaluator's fused
+        saliency+fg ranking (inference_mr.py:124-131)."""
         self.cfg = cfg
         self.params = params
         self.clip_len = clip_len
         self.buckets = list(buckets or default_buckets(2048, base=128))
         self.clip_encoder = clip_encoder  # optional ClipEncoder for raw video
+        self.eval_mode = eval_mode
         model = UniVTG(cfg)
+        # ONE decode implementation shared with the batch evaluator
+        # (train/steps.decode_dense_outputs, incl. the fp16 saliency parity
+        # cast) -- serve and eval cannot drift (tests/test_serve.py::
+        # test_serve_decode_equals_batch_eval_decode)
+        from univtg_tpu.train.steps import decode_dense_outputs
 
         def fwd(params, txt, txt_mask, vid, vid_mask, timestamp):
             out = model.apply({"params": params}, txt, txt_mask, vid, vid_mask, train=False)
-            scores = out["pred_logits"][..., 0] * vid_mask
-            spans = timestamp + out["pred_spans"]
-            saliency = out["saliency_scores"] + (1.0 - vid_mask) * -1e30
-            return {"scores": scores, "spans": spans, "saliency": saliency}
+            return decode_dense_outputs(out, vid_mask, timestamp, eval_mode)
 
         self._fwd = jax.jit(fwd)
 

@@ -96,6 +96,10 @@ class TrainConfig:
     # bandwidth; "int8" quarters it via per-token quantization; compute
     # always runs in ModelConfig.compute_dtype)
     transfer_dtype: str = "float32"
+    # transfer dtype for EVALUATION batches, kept separate so a training
+    # throughput setting (int8/bf16) never perturbs checkpoint-selection
+    # scores or reported metrics; set equal to transfer_dtype to opt in
+    transfer_dtype_eval: str = "float32"
     # batches prepared + device_put ahead of consumption in a background
     # thread (data/prefetch.py); 0 disables, 2 = double buffering
     prefetch_depth: int = 2
@@ -424,7 +428,7 @@ def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
         clip_length=cfg.eval_data.clip_len,
         round_multiple=cfg.round_multiple,
         eval_step=eval_step,
-        transfer_dtype=cfg.transfer_dtype,
+        transfer_dtype=cfg.transfer_dtype_eval,
     )
     sub_path = os.path.join(cfg.results_dir, "latest_val_preds.jsonl")
     save_jsonl(submission, sub_path)

@@ -271,32 +271,39 @@ def make_md_eval_step(model, span_loss_type: str = "l1", clip_length: float = 2.
     return jax.jit(step)
 
 
-def make_eval_step(model, eval_mode: Optional[str] = "add"):
-    """Returns jitted (params, model_inputs, targets) -> decoded tensors.
+def decode_dense_outputs(outputs, vid_mask, timestamp, eval_mode: Optional[str]):
+    """THE dense-regression decode (main/inference_mr.py:109-131), shared by
+    batch evaluation (make_eval_step) and serving (serve/pipeline.py) so the
+    two surfaces cannot drift:
+      spans    = timestamp + predicted offsets       (normalized units)
+      scores   = foreground probability, zeroed outside the valid length
+      saliency = fp16-quantized saliency (parity with the reference's
+                 .half() cast, inference_mr.py:134) (+ fg prob when
+                 eval_mode == 'add')
+    """
+    prob = outputs["pred_logits"][..., 0]  # (B, Lv) sigmoid probs
+    scores = prob * vid_mask
+    spans = timestamp + outputs["pred_spans"]
+    saliency = outputs["saliency_scores"].astype(jnp.float16).astype(jnp.float32)
+    if eval_mode == "add":
+        saliency = saliency + prob
+    return {
+        "scores": scores,
+        "spans": spans,
+        "saliency": saliency,
+        "valid_len": vid_mask.sum(axis=1).astype(jnp.int32),
+    }
 
-    Dense-regression decode on device (main/inference_mr.py:109-131):
-      spans   = timestamp + predicted offsets        (normalized units)
-      scores  = foreground probability, zeroed outside the valid length
-      saliency = saliency (+ fg prob when eval_mode == 'add')
-    Host side only sorts/format-rounds per query.
+
+def make_eval_step(model, eval_mode: Optional[str] = "add"):
+    """Returns jitted (params, model_inputs, targets) -> decoded tensors
+    via decode_dense_outputs. Host side only sorts/format-rounds per query.
     """
 
     def step(params, model_inputs, targets):
         outputs = forward(model, params, model_inputs, train=False)
-        prob = outputs["pred_logits"][..., 0]  # (B, Lv) sigmoid probs
-        mask = model_inputs["src_vid_mask"]
-        scores = prob * mask
-        spans = targets["timestamp"] + outputs["pred_spans"]
-        saliency = outputs["saliency_scores"]
-        # fp16 quantization for parity with the reference's .half() cast
-        saliency = saliency.astype(jnp.float16).astype(jnp.float32)
-        if eval_mode == "add":
-            saliency = saliency + prob
-        return {
-            "scores": scores,
-            "spans": spans,
-            "saliency": saliency,
-            "valid_len": mask.sum(axis=1).astype(jnp.int32),
-        }
+        return decode_dense_outputs(
+            outputs, model_inputs["src_vid_mask"], targets["timestamp"], eval_mode
+        )
 
     return jax.jit(step)
