@@ -64,8 +64,10 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
     )
     eval_data = None
     tp = 1
+    n_epoch = 2
     eval_epoch = 10  # no eval dataset in plain "train" mode
-    if mode == "evaltp":
+    fault_epoch = -1
+    if mode in ("evaltp", "elastic", "resume", "full4"):
         from univtg_tpu.data.mr import MRDataConfig
 
         eval_data = MRDataConfig(
@@ -79,8 +81,21 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
             max_q_l=10,
             max_v_l=a["max_clips"],
         )
-        tp = 2  # dp=2 x tp=2 over the 4 global devices: params span hosts
+    if mode == "evaltp":
+        # dp=2 x tp=2 over the 4 global devices; row-major device order
+        # keeps each tp PAIR within one host (the production Megatron
+        # layout: tp over the fast local links, dp across hosts). The
+        # rank-0 eval + checkpoint still require the _host_eval_params/
+        # _host_state collective because every jit over global arrays
+        # must run on all processes; tp-ACROSS-hosts param fetch is
+        # guarded separately by the "gather" mode below.
+        tp = 2
         eval_epoch = 2  # evaluate on the final epoch
+    elif mode in ("elastic", "resume", "full4"):
+        n_epoch = 4
+        eval_epoch = 1  # checkpoint latest every epoch
+        if mode == "elastic":
+            fault_epoch = 1  # rank 1 hard-exits after training epoch 1
     return VLPTrainConfig(
         model=model,
         vlp_data=vlp_data,
@@ -88,7 +103,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         results_dir=results_dir,
         bsz=8,  # per-process; global batch = 8 * process_count
         eval_bsz=8,
-        n_epoch=2,
+        n_epoch=n_epoch,
         eval_epoch=eval_epoch,
         tp=tp,
         lr=3e-4,
@@ -97,15 +112,60 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         save_interval=-1,
         num_io_threads=2,
         seed=7,
+        inject_fault_epoch=fault_epoch,
+        inject_fault_rank=1,
     )
+
+
+def run_gather_guard(meta, results_dir):
+    """tp=2 ACROSS two single-device hosts: a raw np.asarray on a
+    tp-sharded param leaf must raise (spans non-addressable devices), and
+    driver_mr._host_state must still produce full host copies on every
+    process -- the exact failure class the collective gather fixes
+    (ADVICE r2)."""
+    import numpy as np
+    import jax
+
+    from univtg_tpu.models import ModelConfig, UniVTG
+    from univtg_tpu.parallel import make_mesh, replicate_params
+    from univtg_tpu.train.driver_mr import _host_state
+    from univtg_tpu.train.steps import init_state, make_optimizer
+
+    mesh = make_mesh(dp=1, tp=2)  # 2 global devices, one per process
+    cfg = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=2, num_heads=4,
+        ffn_dim=96, max_v_l=16, max_q_l=8,
+    )
+    model = UniVTG(cfg)
+    optimizer = make_optimizer(lambda s: 1e-4)
+    state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    want = np.asarray(state.params["encoder"]["layers_0"]["in_proj_kernel"])
+    state = state.replace(params=replicate_params(mesh, state.params))
+
+    leaf = state.params["encoder"]["layers_0"]["in_proj_kernel"]
+    assert not leaf.is_fully_addressable  # tp spans the two hosts
+    raised = False
+    try:
+        np.asarray(leaf)  # the pre-fix checkpoint path
+    except Exception:
+        raised = True
+    assert raised, "plain fetch of cross-host tp shard should raise"
+
+    host = _host_state(mesh, state)  # collective on both processes
+    got = np.asarray(host.params["encoder"]["layers_0"]["in_proj_kernel"])
+    np.testing.assert_array_equal(got, want)
+    os.makedirs(results_dir, exist_ok=True)
+    with open(os.path.join(results_dir, "gather_ok"), "w") as f:
+        f.write("ok")
 
 
 def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
+    local_devices = int(os.environ.get("MP_LOCAL_DEVICES", "2"))
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=2"
+            flags + f" --xla_force_host_platform_device_count={local_devices}"
         ).strip()
     import jax
 
@@ -119,12 +179,23 @@ def main():
 
     rank, count = init_distributed(f"127.0.0.1:{port}", nproc, pid)
     assert (rank, count) == (pid, nproc), (rank, count)
-    assert len(jax.devices()) == 2 * nproc, jax.devices()
-    assert len(jax.local_devices()) == 2
+    assert len(jax.devices()) == local_devices * nproc, jax.devices()
+    assert len(jax.local_devices()) == local_devices
 
     mode = sys.argv[6] if len(sys.argv) > 6 else "train"
+    if mode == "gather":
+        run_gather_guard(meta, os.path.join(results_base, f"p{pid}"))
+        print(f"worker {pid} done", flush=True)
+        return
     cfg = build_cfg(meta, os.path.join(results_base, f"p{pid}"), mode)
-    train_vlp(cfg)
+    resume, resume_all = None, False
+    if mode == "resume":
+        # every process resumes from rank 0's latest checkpoint (the
+        # reference reads one shared --resume path on all ranks,
+        # main/config.py:362-374)
+        resume = os.path.join(results_base, "p0", "model_latest.ckpt")
+        resume_all = True
+    train_vlp(cfg, resume=resume, resume_all=resume_all)
     print(f"worker {pid} done", flush=True)
 
 

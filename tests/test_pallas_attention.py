@@ -1,5 +1,8 @@
-"""Flash-attention kernel vs the XLA einsum path (interpret mode on CPU)."""
-import functools
+"""Flash-attention kernels vs the XLA einsum path (interpret mode on CPU):
+forward parity, grad parity through the custom-vjp flash backward, and
+encoder-level training equivalence with attention_impl='pallas'."""
+import contextlib
+import os
 
 import numpy as np
 import pytest
@@ -9,27 +12,35 @@ import jax.numpy as jnp
 from univtg_tpu.ops.attention import attention_scores_bias, sdpa_xla
 
 
-def flash_interpret(q, k, v, mask, num_heads, block_q=16, block_k=16):
-    from jax.experimental import pallas as pl
+@contextlib.contextmanager
+def pallas_interpret():
+    os.environ["UNIVTG_PALLAS_INTERPRET"] = "1"
+    try:
+        yield
+    finally:
+        os.environ.pop("UNIVTG_PALLAS_INTERPRET", None)
 
+
+def flash_interpret(q, k, v, mask, num_heads, block_q=16, block_k=16):
     import univtg_tpu.ops.pallas_attention as pa
 
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = functools.partial(orig, interpret=True)
+    with pallas_interpret():
         fn = pa.flash_attention.__wrapped__  # un-jitted
         return fn(q, k, v, mask, num_heads=num_heads, block_q=block_q, block_k=block_k)
-    finally:
-        pl.pallas_call = orig
+
+
+def _rand_qkv(seed, B, Lq, Lk, D):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, Lq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Lk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Lk, D)), jnp.float32)
+    return q, k, v
 
 
 @pytest.mark.parametrize("Lq,Lk", [(16, 16), (24, 40), (33, 7)])
 def test_flash_matches_xla(Lq, Lk):
-    rng = np.random.default_rng(0)
     B, H, D = 2, 4, 32
-    q = jnp.asarray(rng.standard_normal((B, Lq, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, Lk, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, Lk, D)), jnp.float32)
+    q, k, v = _rand_qkv(0, B, Lq, Lk, D)
     mask = np.ones((B, Lk), np.float32)
     mask[1, Lk // 2 :] = 0
     mask = jnp.asarray(mask)
@@ -40,11 +51,149 @@ def test_flash_matches_xla(Lq, Lk):
 
 
 def test_flash_no_mask():
-    rng = np.random.default_rng(1)
     B, H, D, L = 1, 2, 16, 16
-    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    q, k, v = _rand_qkv(1, B, L, L, D)
     want = sdpa_xla(q, k, v, None, H)
     got = flash_interpret(q, k, v, None, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(16, 16), (24, 40)])
+def test_flash_grads_match_xla(Lq, Lk):
+    """custom-vjp flash backward: dQ/dK/dV match autodiff through the XLA
+    softmax attention for masked, non-square, padded shapes."""
+    import univtg_tpu.ops.pallas_attention as pa
+
+    B, H, D = 2, 4, 32
+    q, k, v = _rand_qkv(2, B, Lq, Lk, D)
+    mask = np.ones((B, Lk), np.float32)
+    mask[1, max(1, Lk // 2) :] = 0
+    mask = jnp.asarray(mask)
+    w = jnp.asarray(
+        np.random.default_rng(3).standard_normal((B, Lq, D)), jnp.float32
+    )  # cotangent seed: sum(out * w)
+
+    def loss_xla(q, k, v):
+        out = sdpa_xla(q, k, v, attention_scores_bias(mask), H)
+        return jnp.sum(out * w)
+
+    def loss_flash(q, k, v):
+        fn = pa.flash_attention.__wrapped__
+        out = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16)
+        return jnp.sum(out * w)
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    with pallas_interpret():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=f"d{name}"
+        )
+
+
+def test_flash_grad_masked_keys_zero():
+    """Keys masked out receive zero dK/dV (they never contribute to any
+    valid row's softmax)."""
+    import univtg_tpu.ops.pallas_attention as pa
+
+    B, H, D, L = 1, 2, 16, 16
+    q, k, v = _rand_qkv(4, B, L, L, D)
+    mask = np.ones((B, L), np.float32)
+    mask[0, 10:] = 0
+    mask = jnp.asarray(mask)
+
+    def loss(k, v):
+        fn = pa.flash_attention.__wrapped__
+        out = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16)
+        return jnp.sum(out**2)
+
+    with pallas_interpret():
+        dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    assert np.abs(np.asarray(dk)[0, 10:]).max() == 0.0
+    assert np.abs(np.asarray(dv)[0, 10:]).max() == 0.0
+    assert np.abs(np.asarray(dk)[0, :10]).max() > 0.0
+
+
+def test_encoder_training_equivalence_pallas_vs_xla():
+    """A short coupled SGD run through the full UniVTG model must produce
+    the same loss curve with attention_impl='pallas' (interpret) as with
+    'xla' -- the trainable long-context path end to end."""
+    import optax
+
+    from univtg_tpu.models import ModelConfig, UniVTG
+    from univtg_tpu.models.losses import LossWeights, compute_losses
+
+    kw = dict(
+        vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=2, num_heads=4,
+        ffn_dim=96, dropout=0.0, droppath=0.0, input_dropout=0.0,
+        max_v_l=24, max_q_l=8,
+    )
+    B, Lv, Lt = 2, 24, 8
+    rng = np.random.default_rng(11)
+    ts = ((np.arange(Lv) + 0.5) / Lv).astype(np.float32)
+    window = np.zeros((B, Lv), np.float32)
+    window[:, 4:9] = 1
+    nn_sp = np.zeros((B, Lv, 2), np.float32)
+    nn_sp[:, :, 0], nn_sp[:, :, 1] = ts[4] - 0.02, ts[8] + 0.02
+    vm = np.ones((B, Lv), np.float32)
+    vm[1, 18:] = 0  # ragged batch: padded keys must stay excluded
+    batches = []
+    for i in range(3):
+        r = np.random.default_rng(50 + i)
+        batches.append(
+            dict(
+                mi={
+                    "src_txt": r.standard_normal((B, Lt, 16)).astype(np.float32),
+                    "src_txt_mask": np.ones((B, Lt), np.float32),
+                    "src_vid": r.standard_normal((B, Lv, 34)).astype(np.float32),
+                    "src_vid_mask": vm,
+                },
+                tg={
+                    "timestamp": np.tile(ts[None, :, None], (B, 1, 2)).astype(np.float32),
+                    "timestamp_mask": vm,
+                    "timestamp_window": window * vm,
+                    "span_labels_nn": nn_sp,
+                    "saliency_scores": (r.uniform(0, 1, (B, Lv)) * vm).astype(np.float32),
+                    "saliency_pos_labels": np.full((B, 1), 5, np.int32),
+                },
+            )
+        )
+
+    weights = LossWeights()
+
+    def run(impl):
+        cfg = ModelConfig(**kw, attention_impl=impl)
+        model = UniVTG(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            batches[0]["mi"]["src_txt"], batches[0]["mi"]["src_txt_mask"],
+            batches[0]["mi"]["src_vid"], batches[0]["mi"]["src_vid_mask"],
+            train=False,
+        )["params"]
+        tx = optax.sgd(0.05)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, mi, tg):
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p}, mi["src_txt"], mi["src_txt_mask"],
+                    mi["src_vid"], mi["src_vid_mask"], train=True,
+                )
+                return compute_losses(out, tg, weights)["loss_overall"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for b in batches:
+            params, opt_state, loss = step(params, opt_state, b["mi"], b["tg"])
+            losses.append(float(loss))
+        return losses
+
+    base = run("xla")
+    with pallas_interpret():
+        got = run("pallas")
+    np.testing.assert_allclose(got, base, rtol=2e-5)
+    assert base[-1] < base[0]  # actually learning

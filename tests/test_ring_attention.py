@@ -75,3 +75,99 @@ def test_ring_impl_in_encoder():
         np.testing.assert_allclose(
             np.asarray(got[key]), np.asarray(want[key]), atol=3e-5, err_msg=key
         )
+
+
+def test_ring_grads_match_sdpa():
+    """Ring attention is a TRAINABLE path: dQ/dK/dV through shard_map +
+    lax.scan + ppermute match autodiff through single-device SDPA."""
+    mesh = make_mesh(dp=1, tp=4)
+    rng = np.random.default_rng(3)
+    B, L, D, H = 2, 64, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, 48:] = 0
+    mask = jnp.asarray(mask)
+    w = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    # zero the cotangent at padded-query rows: their sdpa rows are uniform
+    # over masked keys (degenerate) and not part of the contract
+    w = w * mask[..., None]
+
+    def loss_ring(q, k, v):
+        out = ring_attention(q, k, v, mask, num_heads=H, mesh=mesh, axis="tp")
+        return jnp.sum(out * w)
+
+    def loss_sdpa(q, k, v):
+        out = sdpa_xla(q, k, v, attention_scores_bias(mask), H)
+        return jnp.sum(out * w)
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_sdpa = jax.jit(jax.grad(loss_sdpa, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip("qkv", g_ring, g_sdpa):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=f"d{name}"
+        )
+
+
+def test_ring_train_step_with_seq_shard():
+    """One full train step (fwd+losses+bwd+AdamW) with attention_impl='ring'
+    + sequence-parallel activation sharding on a (dp=2, tp=4) mesh; the loss
+    must equal the plain-xla train step on the same batch."""
+    from univtg_tpu.models import ModelConfig, UniVTG
+    from univtg_tpu.models.losses import LossWeights
+    from univtg_tpu.parallel import replicate_params, shard_batch
+    from univtg_tpu.train.steps import init_state, make_optimizer, make_train_step
+
+    base = dict(
+        vid_dim=34, txt_dim=16, hidden_dim=32, num_layers=2, num_heads=4,
+        ffn_dim=48, dropout=0.0, droppath=0.0, input_dropout=0.0,
+        max_v_l=28, max_q_l=4,
+    )
+    B, Lv, Lt = 4, 28, 4  # Lv+Lt = 32 tiles over tp=4
+    rng = np.random.default_rng(5)
+    ts = np.tile(((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2)).astype(np.float32)
+    window = np.zeros((B, Lv), np.float32)
+    window[:, 3:8] = 1
+    nn_sp = np.zeros((B, Lv, 2), np.float32)
+    nn_sp[:, :, 0], nn_sp[:, :, 1] = 3 / Lv, 8 / Lv
+    mi = {
+        "src_txt": rng.standard_normal((B, Lt, 16)).astype(np.float32),
+        "src_txt_mask": np.ones((B, Lt), np.float32),
+        "src_vid": rng.standard_normal((B, Lv, 34)).astype(np.float32),
+        "src_vid_mask": np.ones((B, Lv), np.float32),
+    }
+    tg = {
+        "timestamp": ts,
+        "timestamp_mask": np.ones((B, Lv), np.float32),
+        "timestamp_window": window,
+        "span_labels_nn": nn_sp,
+        "saliency_scores": rng.uniform(0, 1, (B, Lv)).astype(np.float32),
+        "saliency_pos_labels": np.full((B, 1), 4, np.int32),
+    }
+
+    def run(impl):
+        cfg = ModelConfig(**base, attention_impl=impl,
+                          seq_shard=(impl == "ring"))
+        model = UniVTG(cfg)
+        optimizer = make_optimizer(lambda s: 1e-4)
+        state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer, LossWeights(), donate=False)
+        if impl == "ring":
+            mesh = make_mesh(dp=2, tp=4)
+            state = state.replace(params=replicate_params(mesh, state.params))
+            with jax.set_mesh(mesh):
+                new_state, metrics = step(
+                    state, shard_batch(mesh, mi), shard_batch(mesh, tg),
+                    jax.random.PRNGKey(1),
+                )
+                jax.block_until_ready(new_state.params)
+        else:
+            new_state, metrics = step(state, mi, tg, jax.random.PRNGKey(1))
+        return float(metrics["loss_overall"]), float(metrics["grad_norm"])
+
+    loss_ring, gn_ring = run("ring")
+    loss_xla, gn_xla = run("xla")
+    assert np.isfinite(loss_ring)
+    np.testing.assert_allclose(loss_ring, loss_xla, rtol=2e-5)
+    np.testing.assert_allclose(gn_ring, gn_xla, rtol=2e-4)

@@ -10,7 +10,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from univtg_tpu.core.padding import pad_stack, pad_to
+from univtg_tpu.core.padding import bucket_length, pad_stack, pad_to
 
 
 def collate_mr(
@@ -19,22 +19,39 @@ def collate_mr(
     max_v_l: int,
     pad_batch_to: Optional[int] = None,
     max_windows: int = 5,
+    v_buckets: Optional[Sequence[int]] = None,
 ):
     """Items (from MRDataset) -> {'model_inputs', 'targets', 'meta'}.
 
     If pad_batch_to is given, the batch dim is padded with repeats of the
     last item and `batch_mask` marks real rows (keeps shapes static for the
     final partial batch of an epoch).
+
+    v_buckets: optional video-length bucket ladder. The batch pads to the
+    smallest bucket >= the batch's max clip count (capped at max_v_l)
+    instead of always max_v_l -- the compiled-program count is bounded by
+    len(v_buckets) while padding FLOPs on mixed-length corpora drop with the
+    actual length distribution (SURVEY.md §7 "Ragged -> static shapes";
+    replaces the reference's per-batch max padding, main/dataset.py:1037-1052,
+    which would retrace XLA per batch). Loss numerics are invariant to the
+    bucket choice (tests/test_length_buckets.py) because every consumer
+    masks: attention bias, conv heads, and all loss terms.
     """
     n_real = len(items)
     if pad_batch_to is not None and n_real < pad_batch_to:
         items = list(items) + [items[-1]] * (pad_batch_to - n_real)
 
+    if v_buckets:
+        batch_max = max(len(it["video_feat"]) for it in items)
+        pad_v = min(bucket_length(batch_max, list(v_buckets)), max_v_l)
+    else:
+        pad_v = max_v_l
+
     src_txt, src_txt_mask = pad_stack([it["query_feat"] for it in items], max_q_l)
-    src_vid, src_vid_mask = pad_stack([it["video_feat"] for it in items], max_v_l)
-    timestamp, _ = pad_stack([it["timestamp"] for it in items], max_v_l)
-    span_nn, _ = pad_stack([it["span_labels_nn"] for it in items], max_v_l)
-    window, _ = pad_stack([it["timestamp_window"] for it in items], max_v_l)
+    src_vid, src_vid_mask = pad_stack([it["video_feat"] for it in items], pad_v)
+    timestamp, _ = pad_stack([it["timestamp"] for it in items], pad_v)
+    span_nn, _ = pad_stack([it["span_labels_nn"] for it in items], pad_v)
+    window, _ = pad_stack([it["timestamp_window"] for it in items], pad_v)
 
     batch_mask = np.zeros(len(items), np.float32)
     batch_mask[:n_real] = 1.0
@@ -65,7 +82,7 @@ def collate_mr(
         targets["span_labels"] = span_labels
         targets["n_windows"] = n_windows
     if "saliency_scores" in items[0]:
-        sal, _ = pad_stack([it["saliency_scores"] for it in items], max_v_l)
+        sal, _ = pad_stack([it["saliency_scores"] for it in items], pad_v)
         targets["saliency_scores"] = sal.astype(np.float32)
         targets["saliency_pos_labels"] = np.stack(
             [it["saliency_pos_labels"] for it in items]

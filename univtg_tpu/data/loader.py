@@ -28,7 +28,15 @@ class Loader:
         pad_partial: bool = True,
         shard_index: int = 0,
         num_shards: int = 1,
+        lengths=None,
+        bucket_window: int = 8,
     ):
+        """lengths: optional per-item length estimates (e.g.
+        MRDataset.feature_lengths()). When given with shuffle=True, shuffled
+        indices are length-sorted inside windows of bucket_window*batch_size
+        so each batch's max length -- and therefore its collate bucket --
+        tracks the local length distribution; batch ORDER is re-shuffled so
+        no length curriculum leaks into SGD."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -40,6 +48,8 @@ class Loader:
         self.pad_partial = pad_partial
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.lengths = None if lengths is None else np.asarray(lengths)
+        self.bucket_window = bucket_window
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -57,6 +67,14 @@ class Loader:
         if self.num_shards > 1:
             per = len(idx) // self.num_shards
             idx = idx[self.shard_index * per : (self.shard_index + 1) * per]
+        if self.lengths is not None and self.shuffle:
+            # window-local length sort: same shuffled population, locally
+            # homogeneous batch lengths (bounded bucket padding)
+            w = max(self.batch_size, self.batch_size * self.bucket_window)
+            chunks = [idx[i : i + w] for i in range(0, len(idx), w)]
+            idx = np.concatenate(
+                [c[np.argsort(self.lengths[c], kind="stable")] for c in chunks]
+            )
         return idx
 
     def __len__(self):
@@ -73,6 +91,9 @@ class Loader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.lengths is not None and self.shuffle:
+            # de-correlate batch order from length order (no curriculum)
+            np.random.default_rng((self.seed, self.epoch, 1)).shuffle(batches)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

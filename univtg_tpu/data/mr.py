@@ -203,6 +203,23 @@ class MRDataset:
     def __len__(self):
         return len(self.data)
 
+    def feature_lengths(self) -> np.ndarray:
+        """Per-item clip-count ESTIMATES from metadata alone (duration /
+        clip_len, capped at max_v_l) -- drives length-bucketed batching
+        (data/loader.py) without touching any feature file. Exactness is not
+        required: collate picks the bucket from the actual batch max."""
+        cfg = self.cfg
+        return np.asarray(
+            [
+                min(
+                    int(np.ceil(float(m["duration"]) / cfg.clip_len)),
+                    cfg.max_v_l,
+                )
+                for m in self.data
+            ],
+            np.int64,
+        )
+
     def _rng(self, index: int) -> np.random.Generator:
         return np.random.default_rng((self.cfg.seed, self.epoch, index))
 

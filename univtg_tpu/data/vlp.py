@@ -104,6 +104,19 @@ class VLPDataset:
     def __len__(self):
         return len(self.part_ids)
 
+    def feature_lengths(self) -> np.ndarray:
+        """Per-item clip-count estimates across all corpora, aligned with
+        this dataset's (possibly data_ratio-subsampled) index -- drives
+        length-bucketed batching exactly like MRDataset.feature_lengths."""
+        sizes = [len(p) for p in self.parts]
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        flat = (
+            np.concatenate([p.feature_lengths() for p in self.parts])
+            if sizes
+            else np.zeros(0, np.int64)
+        )
+        return flat[offsets[self.part_ids] + self.local_ids]
+
     def __getitem__(self, i: int):
         pi = int(self.part_ids[i])
         item = self.parts[pi][int(self.local_ids[i])]

@@ -36,7 +36,13 @@ class ModelConfig:
     max_q_l: int = 32
     # numerics: params are always f32; activations run in compute_dtype
     compute_dtype: str = "float32"
-    # attention implementation: "xla" | "pallas" (pallas requires TPU)
+    # attention implementation:
+    #   "xla"    einsum attention (default; best for short sequences)
+    #   "pallas" fused flash kernel, fwd + custom-vjp bwd (TPU; falls back
+    #            to xla off-TPU or when attention dropout is active)
+    #   "ring"   context-parallel ring attention over the mesh "tp" axis
+    #            (needs an active jax.set_mesh whose tp axis tiles the
+    #            token length; trainable -- ops/ring_attention.py)
     attention_impl: str = "xla"
     # sequence-parallel activation sharding between encoder layers (needs an
     # active jax.set_mesh context with a "tp" axis; no-op otherwise)

@@ -23,11 +23,15 @@ NEG_INF = -1e30
 
 def resolve_impl(impl: str) -> str:
     """'pallas' requires a TPU backend; everything else falls back to the
-    XLA einsum path so configs stay portable across hosts/tests."""
+    XLA einsum path so configs stay portable across hosts/tests.
+    UNIVTG_PALLAS_INTERPRET=1 keeps the Pallas path alive on CPU in
+    interpreter mode (grad-parity tests exercise the real kernels)."""
     if impl == "pallas":
         import jax
 
-        if jax.devices()[0].platform == "cpu":
+        from univtg_tpu.ops.pallas_attention import interpret_enabled
+
+        if jax.devices()[0].platform == "cpu" and not interpret_enabled():
             return "xla"
     return impl
 
@@ -93,6 +97,10 @@ def multihead_attention(
       impl: "xla" | "pallas".
     """
     impl = resolve_impl(impl)
+    if impl == "pallas" and dropout_rate > 0.0 and dropout_rng is not None:
+        # the fused kernel has no attention-probability dropout; correctness
+        # wins over fusion when a config trains with attn dropout on
+        impl = "xla"
     D = q_in.shape[-1]
     # NOTE(roofline): fusing the q/k projections into one (D, 2D) matmul when
     # q_in is k_in was measured SLOWER on v5e (train B=256: 66.9 vs 61.4
@@ -103,21 +111,30 @@ def multihead_attention(
     v = v_in @ in_proj_kernel[:, 2 * D :] + in_proj_bias[2 * D :]
 
     if impl == "ring":
-        # context-parallel: requires an active jax.set_mesh with a "tp"
-        # axis and sequence lengths tiling over it
+        # context-parallel: needs an active jax.set_mesh with a "tp" axis
+        # whose size tiles the token length; falls back to xla otherwise
+        # (e.g. model.init or off-mesh eval of a ring-configured checkpoint)
         import jax as _jax
 
-        from univtg_tpu.ops.ring_attention import ring_attention
-
         mesh = _jax.sharding.get_abstract_mesh()
-        out = ring_attention(
-            q, k, v, key_padding_mask, num_heads=num_heads, mesh=mesh, axis="tp"
-        )
-    elif impl == "pallas":
+        if (
+            mesh is None
+            or not mesh.shape
+            or "tp" not in mesh.shape
+            or q.shape[1] % mesh.shape["tp"] != 0
+        ):
+            impl = "xla"
+        else:
+            from univtg_tpu.ops.ring_attention import ring_attention
+
+            out = ring_attention(
+                q, k, v, key_padding_mask, num_heads=num_heads, mesh=mesh, axis="tp"
+            )
+    if impl == "pallas":
         from univtg_tpu.ops.pallas_attention import flash_attention
 
         out = flash_attention(q, k, v, key_padding_mask, num_heads=num_heads)
-    else:
+    elif impl != "ring":
         bias = None
         if key_padding_mask is not None:
             bias = attention_scores_bias(key_padding_mask)

@@ -1,18 +1,37 @@
-"""Fused flash-attention Pallas kernel for TPU.
+"""Fused flash-attention Pallas kernels for TPU — forward AND backward.
 
 Online-softmax attention over (B, L, D) inputs with key-padding masking:
-one kernel instance per (batch, head, q-block) streams k/v blocks through
+one kernel instance per (batch*head, q-block) streams k/v blocks through
 VMEM, keeping running max/denominator so the full (Lq, Lk) score matrix is
 never materialized in HBM. This lifts the grounding stack's attention from
 HBM-bound to compute-bound for long-video pretraining (thousands of clips),
 and is the building block for the CLIP towers' 197-token sequences.
 
+Training support: `flash_attention` carries a `jax.custom_vjp` whose
+backward is the standard recompute-based flash backward — the forward saves
+only the output and the per-row logsumexp (not the score matrix), and two
+Pallas kernels recompute score blocks on the fly to produce dQ and dK/dV.
+Residual memory is O(L) per row instead of O(L^2), so long-video training
+(8x2048 and beyond) runs the fused path end to end instead of falling back
+to O(L^2) XLA attention. Semantics replaced: the reference encoder's
+torch MHA (model/transformer_encoder_droppath.py:103-125).
+
 Off-TPU callers fall back to the XLA einsum path automatically
-(univtg_tpu/ops/attention.py).
+(univtg_tpu/ops/attention.py); set UNIVTG_PALLAS_INTERPRET=1 to force the
+Pallas path in interpreter mode on CPU (used by the grad-parity tests).
+
+Numerics: the kernels' dots use the MXU's native bf16 passes with f32
+accumulation (preferred_element_type), the SAME accuracy class as XLA's
+default attention on TPU -- measured against a float64 host reference at
+(B1 H2 L256 dh128): flash max err 4.5e-3 / mean 2.6e-4 vs XLA-default
+3.7e-3 / 2.7e-4; only Precision.HIGHEST XLA (6x slower passes) reaches
+1e-6. Algorithmic exactness is proven on CPU interpret where f32 dots are
+exact (tests/test_pallas_attention.py, atol 5e-5).
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+def interpret_enabled() -> bool:
+    """True when UNIVTG_PALLAS_INTERPRET=1: kernels run in interpreter mode
+    (CPU), letting tests exercise the real Pallas code path off-TPU."""
+    return os.environ.get("UNIVTG_PALLAS_INTERPRET", "") == "1"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                sm_scale: float):
     """Grid: (B*H, num_q_blocks). Blocks: q (1, block_q, dh) in VMEM,
-    k/v (1, Lk, dh) in VMEM, mask (1, Lk)."""
+    k/v (1, Lk, dh) in VMEM, mask (1, 1, Lk); outputs o (1, block_q, dh)
+    and per-row logsumexp (1, block_q)."""
     q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, dh)
     Lk = k_ref.shape[1]
     block_q = q.shape[0]
@@ -56,7 +88,225 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scal
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)  # (block_q, 1)
+
+
+def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float):
+    """Head-split padded tensors -> (out, lse). qh/kh/vh: (BH, L, dh);
+    maskh: (BH, 1, Lk)."""
+    BH, Lq, dh = qh.shape
+    Lk = kh.shape[1]
+    grid = (BH, Lq // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Lk), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, Lk, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+            ),
+            # lse is (BH, Lq, 1): TPU block shapes need the sublane dim
+            # divisible by 8 (block_q is) and the lane dim equal to the
+            # array dim (1), which a 2-D (1, block_q) block violates
+            pl.BlockSpec(
+                (1, block_q, 1), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lq, dh), qh.dtype),
+            jax.ShapeDtypeStruct((BH, Lq, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Lq * Lk * dh,
+            bytes_accessed=(qh.size + kh.size + vh.size) * qh.dtype.itemsize,
+            transcendentals=BH * Lq * Lk,
+        ),
+        interpret=interpret_enabled(),
+    )(maskh, qh, kh, vh)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward (recompute-based flash backward, FlashAttention-2 style)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, block_k: int, sm_scale: float):
+    """dQ: one (bh, q-block) instance loops over k blocks.
+    ds = p * (dO V^T - delta);  dQ = sm_scale * ds K."""
+    q = q_ref[0].astype(jnp.float32)  # (block_q, dh)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (block_q, 1)
+    delta = delta_ref[0]
+    Lk = k_ref.shape[1]
+    acc = jnp.zeros_like(q)
+
+    def body(kb, acc):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        kmask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]
+        s = sm_scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
+        p = jnp.exp(s - lse)  # exact softmax probs (lse saved from fwd)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, Lk // block_k, body, acc)
+    dq_ref[0] = (acc * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, sm_scale: float):
+    """dK/dV: one (bh, k-block) instance loops over q blocks.
+    dV = P^T dO;  dK = sm_scale * ds^T Q."""
+    k = k_ref[0].astype(jnp.float32)  # (block_k, dh)
+    v = v_ref[0].astype(jnp.float32)
+    kmask = mask_ref[0, 0, :]  # (block_k,)
+    Lq = q_ref.shape[1]
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]  # (block_q, 1)
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :]
+        s = sm_scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, Lq // block_q, body, (dk, dv))
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
+    BH, Lq, dh = qh.shape
+    Lk = kh.shape[1]
+    # per-row rowsum(dO * O) -- tiny elementwise reduce, XLA fuses it
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (BH, Lq, 1)
+
+    mask_spec_full = pl.BlockSpec(
+        (1, 1, Lk), lambda bh, b: (bh, 0, 0), memory_space=pltpu.VMEM
+    )
+    qblk = lambda bh, qb: (bh, qb, 0)
+    full = lambda bh, b: (bh, 0, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
+        grid=(BH, Lq // block_q),
+        in_specs=[
+            mask_spec_full,
+            pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, dh), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, dh), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, dh), qh.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * BH * Lq * Lk * dh,
+            bytes_accessed=(qh.size * 2 + kh.size + vh.size) * qh.dtype.itemsize,
+            transcendentals=BH * Lq * Lk,
+        ),
+        interpret=interpret_enabled(),
+    )(maskh, qh, kh, vh, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
+        grid=(BH, Lk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda bh, kb: (bh, 0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, dh), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, dh), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lk, dh), kh.dtype),
+            jax.ShapeDtypeStruct((BH, Lk, dh), vh.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * BH * Lq * Lk * dh,
+            bytes_accessed=(qh.size * 2 + kh.size + vh.size) * qh.dtype.itemsize,
+            transcendentals=BH * Lq * Lk,
+        ),
+        interpret=interpret_enabled(),
+    )(maskh, qh, kh, vh, g, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp core on head-split padded tensors
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_core(block_q, block_k, sm_scale, maskh, qh, kh, vh):
+    out, _ = _fwd_impl(
+        maskh, qh, kh, vh, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+    )
+    return out
+
+
+def _flash_core_fwd(block_q, block_k, sm_scale, maskh, qh, kh, vh):
+    out, lse = _fwd_impl(
+        maskh, qh, kh, vh, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+    )
+    return out, (maskh, qh, kh, vh, out, lse)
+
+
+def _flash_core_bwd(block_q, block_k, sm_scale, residuals, g):
+    maskh, qh, kh, vh, out, lse = residuals
+    dq, dk, dv = _bwd_impl(
+        maskh, qh, kh, vh, out, lse, g,
+        block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+    )
+    return jnp.zeros_like(maskh), dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k"))
@@ -65,7 +315,10 @@ def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
     """Fused SDPA. q/k/v: (B, L, D) post-projection; mask: (B, Lk) 1=valid.
 
     Returns (B, Lq, D). Sequences are padded to block multiples internally;
-    padded keys are masked, padded queries are sliced off.
+    padded keys are masked, padded queries are sliced off. Differentiable
+    (custom-vjp flash backward); attention-probability dropout is NOT
+    supported on this path — callers fall back to XLA when they need it
+    (univtg_tpu/ops/attention.py).
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
@@ -95,28 +348,7 @@ def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
     vh = split_heads(vp, Lkp)
     maskh = jnp.repeat(maskp, H, axis=0)[:, None, :]  # (B*H, 1, Lkp)
 
-    grid = (B * H, Lqp // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, Lkp), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, Lkp, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lkp, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lqp, dh), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Lqp * Lkp * dh,
-            bytes_accessed=(qh.size + kh.size + vh.size) * qh.dtype.itemsize,
-            transcendentals=B * H * Lqp * Lkp,
-        ),
-    )(maskh, qh, kh, vh)
+    out = _flash_core(block_q, block_k, sm_scale, maskh, qh, kh, vh)
 
     out = out.reshape(B, H, Lqp, dh).transpose(0, 2, 1, 3).reshape(B, Lqp, D)
     return out[:, :Lq]

@@ -73,16 +73,19 @@ def _ring_attention_local(q, k, v, mask, *, num_heads, axis_name):
 
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    def body(step, state):
+    # lax.scan (NOT fori_loop): reverse-mode differentiable, so the ring is
+    # a trainable path -- the backward pass re-rotates K/V cotangents with
+    # the transposed ppermute XLA derives automatically.
+    def body(state, _):
         (m, l, acc), k, v, mask = state
         carry = _ring_block((m, l, acc), (k, v, mask), q, scale, axis_name, num_heads)
         k = jax.lax.ppermute(k, axis_name, perm)
         v = jax.lax.ppermute(v, axis_name, perm)
         mask = jax.lax.ppermute(mask, axis_name, perm)
-        return carry, k, v, mask
+        return (carry, k, v, mask), None
 
-    (m, l, acc), _, _, _ = jax.lax.fori_loop(
-        0, n_dev, body, ((m, l, acc), k, v, mask)
+    ((m, l, acc), _, _, _), _ = jax.lax.scan(
+        body, ((m, l, acc), k, v, mask), None, length=n_dev
     )
     out = acc / jnp.maximum(l, 1e-30)  # (B, H, Lq, dh)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, D).astype(q.dtype)

@@ -130,6 +130,10 @@ def seq_constraint(x, axis: str = "tp"):
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or not mesh.shape or axis not in mesh.shape:
         return x
+    if x.shape[0] % mesh.shape.get("dp", 1) != 0:
+        # batch doesn't tile over dp (e.g. the B=2 init dummies running
+        # eagerly under an active mesh) -- constraint would be invalid
+        return x
     if x.shape[1] % mesh.shape[axis] != 0:  # token axis must tile evenly
         key = (x.shape[1], mesh.shape[axis])
         if key not in _SEQ_SKIP_WARNED:  # warn once per (length, shards)

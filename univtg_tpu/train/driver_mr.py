@@ -8,6 +8,7 @@ of TensorBoard scalars (train_log.jsonl / eval_log.jsonl in results_dir).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import logging
 import os
@@ -103,6 +104,23 @@ class TrainConfig:
     # batches prepared + device_put ahead of consumption in a background
     # thread (data/prefetch.py); 0 disables, 2 = double buffering
     prefetch_depth: int = 2
+    # video-length bucket ladder for TRAINING batches, e.g. (128, 256, 512,
+    # 1024): batches pad to the smallest bucket >= the batch max instead of
+    # always max_v_l, with window-local length-sorted batching so bucket
+    # membership is homogeneous. Bounds compiled programs to len(buckets)
+    # while cutting padding FLOPs on mixed-length corpora (SURVEY.md §7).
+    # None/() = classic pad-to-max_v_l. Loss numerics are bucket-invariant
+    # (tests/test_length_buckets.py).
+    length_buckets: Optional[Sequence[int]] = None
+    # FAULT INJECTION (elastic-restart testing): the process whose
+    # shard_index == inject_fault_rank exits hard (os._exit) right after
+    # finishing training epoch inject_fault_epoch -- simulating a member of
+    # a multi-process gang crashing mid-run. -1 disables. Recovery contract:
+    # relaunch the gang with resume='auto' (or an explicit latest ckpt +
+    # resume_all) and the loss curve continues exactly
+    # (tests/test_multiprocess.py::test_elastic_restart_two_process_gang).
+    inject_fault_epoch: int = -1
+    inject_fault_rank: int = 0
 
 
 def _strip_meta(batch, transfer_dtype: str = "float32"):
@@ -168,17 +186,22 @@ def train_mr(
 
     train_max_q = cfg.train_data.max_q_l if cfg.train_data else cfg.model.max_q_l
     train_max_v = cfg.train_data.max_v_l if cfg.train_data else cfg.model.max_v_l
+    v_buckets = tuple(cfg.length_buckets) if cfg.length_buckets else None
+    lengths = None
+    if v_buckets and hasattr(train_ds, "feature_lengths"):
+        lengths = train_ds.feature_lengths()
     train_loader = Loader(
         train_ds,
         cfg.bsz,
         lambda items, pad_batch_to: collate_mr(
-            items, train_max_q, train_max_v, pad_batch_to
+            items, train_max_q, train_max_v, pad_batch_to, v_buckets=v_buckets
         ),
         shuffle=True,
         seed=cfg.seed,
         num_threads=cfg.num_io_threads,
         shard_index=cfg.shard_index,
         num_shards=cfg.num_shards,
+        lengths=lengths,
     )
     steps_per_epoch = len(train_loader)
     model, optimizer, state = build_everything(cfg, steps_per_epoch)
@@ -288,8 +311,26 @@ def train_mr(
             if scan_step is not None:
                 from univtg_tpu.train.steps import stack_batches
 
+                def _vlen(b):
+                    return b["model_inputs"]["src_vid"].shape[1]
+
                 pending = []
                 for batch in train_loader:
+                    if pending and _vlen(batch) != _vlen(pending[0]):
+                        # length_buckets: only same-bucket batches stack into
+                        # one scan dispatch; flush the ragged remainder
+                        # through the single step
+                        for b in pending:
+                            mi, tg = _strip_meta(b, cfg.transfer_dtype)
+                            state, metrics = train_step(
+                                state,
+                                shard_batch(mesh, mi),
+                                shard_batch(mesh, tg),
+                                rng,
+                            )
+                            n_steps += 1
+                            record(metrics)
+                        pending = []
                     pending.append(batch)
                     if len(pending) == cfg.scan_steps:
                         smi, stg = stack_batches(pending, cfg.transfer_dtype)
@@ -341,27 +382,35 @@ def train_mr(
             train_log.flush()
             tb.scalars(line, epoch, prefix="train/")
             logger.info(f"epoch {epoch}: {line}")
+            if epoch == cfg.inject_fault_epoch and cfg.shard_index == cfg.inject_fault_rank:
+                # simulated crash: no cleanup, no checkpoint -- exactly what
+                # a preempted/killed gang member looks like to its peers
+                logger.warning(f"inject_fault: hard exit at epoch {epoch}")
+                os._exit(3)
 
         is_main = cfg.shard_index == 0  # rank-0-only eval/ckpt (SURVEY.md 3.3)
         do_eval = eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0
         stop = False
         if do_eval:
-            # ALL processes pull host-addressable params off the global mesh
-            # (a collective when tp shards params across hosts); only rank 0
-            # then runs the actual evaluation.
-            eval_params = _host_eval_params(mesh, state.params)
+            # ALL processes pull a host-addressable state off the global
+            # mesh (a collective when tp shards params across hosts, for
+            # checkpointing exactly like for eval); only rank 0 then runs
+            # the actual evaluation and serializes the checkpoints.
+            host_state = _host_state(mesh, state)
             if is_main:
-                metrics = _eval_once(cfg, model, eval_params, eval_ds, eval_step, epoch)
+                metrics = _eval_once(
+                    cfg, model, host_state.params, eval_ds, eval_step, epoch
+                )
                 eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
                 eval_log.flush()
                 tb.scalars(metrics["brief"], epoch, prefix="eval/")
                 score = metrics["brief"].get(f"{cfg.main_metric}-key")
                 if score is None:
                     score = metrics["brief"].get(cfg.main_metric)
-                ckpt.save_checkpoint(latest_path, state, epoch, cfg_json)
+                ckpt.save_checkpoint(latest_path, host_state, epoch, cfg_json)
                 if score is not None and score > best_score:
                     best_score, best_metrics, es_cnt = score, metrics, 0
-                    ckpt.save_checkpoint(best_path, state, epoch, cfg_json)
+                    ckpt.save_checkpoint(best_path, host_state, epoch, cfg_json)
                 else:
                     es_cnt += 1
                     stop = 0 <= cfg.max_es_cnt <= es_cnt
@@ -376,15 +425,19 @@ def train_mr(
             logger.info("early stop")
             break
         if cfg.save_interval > 0 and epoch > 0 and epoch % cfg.save_interval == 0:
-            ckpt.save_checkpoint(
-                os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
-                state,
-                epoch,
-                cfg_json,
-            )
+            host_state = _host_state(mesh, state)  # collective: all processes
+            if is_main:
+                ckpt.save_checkpoint(
+                    os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
+                    host_state,
+                    epoch,
+                    cfg_json,
+                )
 
     if best_metrics is None:  # no eval ran; save final state
-        ckpt.save_checkpoint(best_path, state, cfg.n_epoch - 1, cfg_json)
+        host_state = _host_state(mesh, state)  # collective: all processes
+        if cfg.shard_index == 0:
+            ckpt.save_checkpoint(best_path, host_state, cfg.n_epoch - 1, cfg_json)
         best_metrics = {}
     train_log.close()
     eval_log.close()
@@ -408,6 +461,32 @@ def _host_eval_params(mesh, params):
     out_sh = jax.tree_util.tree_map(lambda _: rep, params)
     gathered = jax.jit(lambda p: p, out_shardings=out_sh)(params)
     return jax.tree_util.tree_map(np.asarray, gathered)
+
+
+def _host_state(mesh, state):
+    """Host-addressable TrainState for rank-0 checkpointing.
+
+    Multi-process, tp sharding that truly spans hosts: a raw
+    checkpoint._to_host np.asarray on state.params would raise "spans
+    non-addressable devices" -- the same failure class _host_eval_params
+    fixes for eval. The replicating-identity gather below is a COLLECTIVE:
+    it must run on EVERY process (call this outside any rank-0 guard), after
+    which rank 0 alone can serialize the numpy state. Single-process: the
+    state passes through untouched."""
+    if jax.process_count() <= 1:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    trees = (state.params, state.opt_state)
+    out_sh = jax.tree_util.tree_map(lambda _: rep, trees)
+    params, opt_state = jax.jit(lambda t: t, out_shardings=out_sh)(trees)
+    to_np = functools.partial(jax.tree_util.tree_map, np.asarray)
+    return state.replace(
+        params=to_np(params),
+        opt_state=to_np(opt_state),
+        step=np.asarray(state.step),
+    )
 
 
 def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):

@@ -41,7 +41,9 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
     return jax.process_index(), jax.process_count()
 
 
-def train_vlp(cfg: VLPTrainConfig, resume: Optional[str] = None):
+def train_vlp(
+    cfg: VLPTrainConfig, resume: Optional[str] = None, resume_all: bool = False
+):
     assert cfg.vlp_data is not None
     pid, pcount = jax.process_index(), jax.process_count()
     cfg = dataclasses.replace(
@@ -55,4 +57,4 @@ def train_vlp(cfg: VLPTrainConfig, resume: Optional[str] = None):
         f"VLP: {len(train_ds)} samples over {len(cfg.vlp_data.corpora)} corpora, "
         f"process {pid}/{pcount}"
     )
-    return train_mr(cfg, resume=resume, train_dataset=train_ds)
+    return train_mr(cfg, resume=resume, train_dataset=train_ds, resume_all=resume_all)
