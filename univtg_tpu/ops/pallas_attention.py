@@ -57,7 +57,10 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     """Grid: (B*H, num_q_blocks). Blocks: q (1, block_q, dh) in VMEM,
     k/v (1, Lk, dh) in VMEM, mask (1, 1, Lk); outputs o (1, block_q, dh)
     and per-row logsumexp (1, block_q)."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # (block_q, dh)
+    # dots run in the INPUT dtype with f32 accumulation: on bf16 configs
+    # this is the MXU's native single-pass mode and halves VMEM traffic vs
+    # casting up front (measured 0.77x -> see docs/PERF.md long-video train)
+    q = q_ref[0]  # (block_q, dh), native dtype
     Lk = k_ref.shape[1]
     block_q = q.shape[0]
 
@@ -69,13 +72,13 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
 
     def body(kb, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         kmask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]  # (block_k,)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        ) * sm_scale  # (block_q, block_k) f32
         s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -83,7 +86,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -144,16 +148,16 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, *, block_k: int, sm_scale: float):
     """dQ: one (bh, q-block) instance loops over k blocks.
     ds = p * (dO V^T - delta);  dQ = sm_scale * ds K."""
-    q = q_ref[0].astype(jnp.float32)  # (block_q, dh)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # (block_q, dh), native dtype
+    do = do_ref[0]
     lse = lse_ref[0]  # (block_q, 1)
     delta = delta_ref[0]
     Lk = k_ref.shape[1]
-    acc = jnp.zeros_like(q)
+    acc = jnp.zeros(q.shape, jnp.float32)
 
     def body(kb, acc):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         kmask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]
         s = sm_scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -165,7 +169,8 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         )
         ds = p * (dp - delta)
         return acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     acc = jax.lax.fori_loop(0, Lk // block_k, body, acc)
@@ -176,17 +181,17 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, block_q: int, sm_scale: float):
     """dK/dV: one (bh, k-block) instance loops over q blocks.
     dV = P^T dO;  dK = sm_scale * ds^T Q."""
-    k = k_ref[0].astype(jnp.float32)  # (block_k, dh)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]  # (block_k, dh), native dtype
+    v = v_ref[0]
     kmask = mask_ref[0, 0, :]  # (block_k,)
     Lq = q_ref.shape[1]
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]  # (block_q, 1)
         delta = delta_ref[0, pl.ds(qb * block_q, block_q), :]
         s = sm_scale * jax.lax.dot_general(
@@ -195,14 +200,16 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
         p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return dk, dv
 
@@ -309,19 +316,32 @@ def _flash_core_bwd(block_q, block_k, sm_scale, residuals, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def _auto_block(L: int) -> int:
+    """Default block edge for a given sequence length: big blocks amortize
+    grid-step overhead and feed the MXU large dots (measured at 8x2176
+    fwd+bwd: 23.1 ms with 128-blocks, 13.3 with 256, 9.4 with 512 -- vs
+    15.1 ms for XLA attention), while short sequences stay at one tight
+    block instead of padding to 512."""
+    return int(min(512, max(128, -(-L // 128) * 128)))
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k"))
 def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
-                    block_q: int = 128, block_k: int = 128):
+                    block_q: int = None, block_k: int = None):
     """Fused SDPA. q/k/v: (B, L, D) post-projection; mask: (B, Lk) 1=valid.
 
     Returns (B, Lq, D). Sequences are padded to block multiples internally;
     padded keys are masked, padded queries are sliced off. Differentiable
     (custom-vjp flash backward); attention-probability dropout is NOT
     supported on this path — callers fall back to XLA when they need it
-    (univtg_tpu/ops/attention.py).
+    (univtg_tpu/ops/attention.py). Block sizes default to _auto_block(L).
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
+    if block_q is None:
+        block_q = _auto_block(Lq)
+    if block_k is None:
+        block_k = _auto_block(Lk)
     H = num_heads
     dh = D // H
     sm_scale = dh**-0.5
