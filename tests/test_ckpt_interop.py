@@ -65,3 +65,73 @@ def test_load_clip_pt(tmp_path):
     with torch.no_grad():
         want = ref.encode_image(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_clip_load_by_name_with_mocked_download(tmp_path, monkeypatch):
+    """extract.clip.load: name -> download (mocked opener) -> sha256 check
+    -> cache reuse -> converted flax params. The reference's clip.load
+    download path (run_on_video/clip/clip.py:26-57) without network."""
+    import hashlib
+    import io
+
+    sys.path.insert(0, "/root/reference/run_on_video")
+    from tests.test_clip_extract import SMALL  # noqa: E402
+    from clip.model import CLIP as RefCLIP  # noqa: E402
+
+    from univtg_tpu.extract.clip import load as clip_load
+
+    torch.manual_seed(1)
+    ref = RefCLIP(**SMALL).float().eval()
+    blob_path = tmp_path / "fixture.pt"
+    torch.save(ref.state_dict(), blob_path)
+    blob = open(blob_path, "rb").read()
+    sha = hashlib.sha256(blob).hexdigest()
+
+    calls = []
+
+    class FakeResponse(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_opener(url):
+        calls.append(url)
+        return FakeResponse(blob)
+
+    monkeypatch.setitem(
+        clip_load.MODEL_URLS, "Tiny-Test", f"https://example.invalid/{sha}/Tiny-Test.pt"
+    )
+    root = str(tmp_path / "cache")
+    params, cfg = clip_load.load("Tiny-Test", root=root, opener=fake_opener)
+    assert cfg.vision_width == SMALL["vision_width"]
+    assert len(calls) == 1
+    # second load hits the verified cache, no download
+    clip_load.load("Tiny-Test", root=root, opener=fake_opener)
+    assert len(calls) == 1
+    # corrupt the cached file -> re-download
+    cached = clip_load.download_weights("Tiny-Test", root, opener=fake_opener)
+    with open(cached, "ab") as f:
+        f.write(b"junk")
+    clip_load.load("Tiny-Test", root=root, opener=fake_opener)
+    assert len(calls) == 2
+
+    # checksum mismatch on a fresh download raises
+    def bad_opener(url):
+        return FakeResponse(b"not the weights")
+
+    monkeypatch.setitem(
+        clip_load.MODEL_URLS, "Bad-Test", f"https://example.invalid/{sha}/Bad.pt"
+    )
+    with pytest.raises(RuntimeError, match="sha256"):
+        clip_load.download_weights("Bad-Test", str(tmp_path / "cache2"), opener=bad_opener)
+
+    # local path bypasses the name table entirely
+    params2, cfg2 = clip_load.load(str(blob_path))
+    assert cfg2.embed_dim == cfg.embed_dim
+
+    # unknown names fail fast with the catalogue
+    with pytest.raises(KeyError):
+        clip_load.download_weights("No-Such-Model", root)
+    assert "ViT-B/32" in clip_load.available_models()
