@@ -85,8 +85,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         # dp=2 x tp=2 over the 4 global devices; row-major device order
         # keeps each tp PAIR within one host (the production Megatron
         # layout: tp over the fast local links, dp across hosts). The
-        # rank-0 eval + checkpoint still require the _host_eval_params/
-        # _host_state collective because every jit over global arrays
+        # rank-0 eval + checkpoint still require the _host_state collective because every jit over global arrays
         # must run on all processes; tp-ACROSS-hosts param fetch is
         # guarded separately by the "gather" mode below.
         tp = 2

@@ -135,3 +135,10 @@ def test_clip_load_by_name_with_mocked_download(tmp_path, monkeypatch):
     with pytest.raises(KeyError):
         clip_load.download_weights("No-Such-Model", root)
     assert "ViT-B/32" in clip_load.available_models()
+
+
+def test_clip_load_missing_local_path_raises_file_not_found(tmp_path):
+    from univtg_tpu.extract.clip import load as clip_load
+
+    with pytest.raises(FileNotFoundError, match="no such checkpoint"):
+        clip_load.load(str(tmp_path / "typo" / "ViT-B-16.pt"))

@@ -228,3 +228,45 @@ def test_driver_buckets_compose_with_scan_steps(tmp_path):
     lines = [json.loads(l) for l in open(os.path.join(cfg.results_dir, "train_log.jsonl"))]
     assert lines[0]["steps"] == 4  # 32 samples / bsz 8
     assert np.isfinite(lines[0]["loss_overall"])
+
+
+def test_ladder_below_max_never_truncates():
+    """A bucket ladder whose top rung is below the batch max must pad to
+    max_v_l (implicit top bucket), never truncate: label indices point into
+    the full clip range (review r3 finding)."""
+    rng = np.random.default_rng(2)
+    items = [_item(rng, 20), _item(rng, 30)]
+    b = collate_mr(items, 8, 64, v_buckets=(16,))
+    assert b["model_inputs"]["src_vid"].shape[1] == 64  # NOT 16
+    np.testing.assert_array_equal(b["model_inputs"]["src_vid_mask"].sum(1), [20, 30])
+    # all label indices remain addressable
+    assert int(b["targets"]["saliency_pos_labels"].max()) < 64
+
+
+def test_length_buckets_rejected_under_multiprocess_sharding(tmp_path):
+    """Per-process bucket choices would diverge global batch shapes across
+    an SPMD gang -> explicit error instead of a silent deadlock."""
+    from univtg_tpu.data.mr import MRDataConfig
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+    from univtg_tpu.models import ModelConfig
+    from univtg_tpu.train.driver_mr import TrainConfig, train_mr
+
+    corpus = create_synthetic_mr_corpus(str(tmp_path / "c"), n_train=8, n_val=4, seed=1)
+    model = ModelConfig(
+        vid_dim=corpus["v_dim"] + 2, txt_dim=corpus["q_dim"], hidden_dim=32,
+        num_layers=1, num_heads=4, ffn_dim=48, max_v_l=corpus["max_clips"], max_q_l=10,
+    )
+    cfg = TrainConfig(
+        model=model,
+        train_data=MRDataConfig(
+            dset_name="qvhighlights", data_path=corpus["train_path"],
+            v_feat_dirs=corpus["v_feat_dirs"], q_feat_dir=corpus["q_feat_dir"],
+            q_feat_dim=corpus["q_dim"], v_feat_dim=corpus["v_dim"],
+            clip_len=corpus["clip_len"], max_q_l=10, max_v_l=corpus["max_clips"],
+        ),
+        results_dir=str(tmp_path / "run"),
+        bsz=4, n_epoch=1, dp=1, length_buckets=(48, 64), num_shards=2,
+        shard_index=0,
+    )
+    with pytest.raises(ValueError, match="length_buckets"):
+        train_mr(cfg)

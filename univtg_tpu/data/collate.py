@@ -43,7 +43,12 @@ def collate_mr(
 
     if v_buckets:
         batch_max = max(len(it["video_feat"]) for it in items)
-        pad_v = min(bucket_length(batch_max, list(v_buckets)), max_v_l)
+        # max_v_l acts as the implicit top bucket: a ladder whose largest
+        # rung is below the batch max must NOT truncate (pad_stack would
+        # silently chop features while saliency/span label indices keep
+        # pointing past the cut)
+        ladder = sorted(set(list(v_buckets) + [max_v_l]))
+        pad_v = min(bucket_length(batch_max, ladder), max_v_l)
     else:
         pad_v = max_v_l
 

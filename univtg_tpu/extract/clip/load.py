@@ -90,6 +90,15 @@ def load(name_or_path: str, root: Optional[str] = None, *, opener=urllib.request
 
     if os.path.isfile(name_or_path):
         path = name_or_path
-    else:
+    elif name_or_path in MODEL_URLS:
         path = download_weights(name_or_path, root, opener=opener)
+    elif os.sep in name_or_path or name_or_path.endswith(".pt"):
+        # looks like a path, not a catalogue name: a typo'd local file must
+        # not fall through to a confusing unknown-model KeyError
+        raise FileNotFoundError(
+            f"no such checkpoint file: {name_or_path!r} (and it is not one "
+            f"of the known model names {available_models()})"
+        )
+    else:
+        path = download_weights(name_or_path, root, opener=opener)  # KeyError
     return load_clip_checkpoint(path)

@@ -97,9 +97,11 @@ def multihead_attention(
       impl: "xla" | "pallas".
     """
     impl = resolve_impl(impl)
-    if impl == "pallas" and dropout_rate > 0.0 and dropout_rng is not None:
-        # the fused kernel has no attention-probability dropout; correctness
-        # wins over fusion when a config trains with attn dropout on
+    if impl in ("pallas", "ring") and dropout_rate > 0.0 and dropout_rng is not None:
+        # neither the fused kernel nor the ring implements attention-
+        # probability dropout; correctness wins over fusion/sharding when a
+        # config trains with attn dropout on (in-kernel PRNG dropout is
+        # backlog -- docs/BACKLOG.md)
         impl = "xla"
     D = q_in.shape[-1]
     # NOTE(roofline): fusing the q/k projections into one (D, 2D) matmul when

@@ -1,32 +1,34 @@
 """Fused flash-attention Pallas kernels for TPU — forward AND backward.
 
-Online-softmax attention over (B, L, D) inputs with key-padding masking:
-one kernel instance per (batch*head, q-block) streams k/v blocks through
-VMEM, keeping running max/denominator so the full (Lq, Lk) score matrix is
-never materialized in HBM. This lifts the grounding stack's attention from
-HBM-bound to compute-bound for long-video pretraining (thousands of clips),
-and is the building block for the CLIP towers' 197-token sequences.
+Online-softmax attention over (B, L, D) inputs with key-padding masking.
+K/V blocks stream through VMEM via the grid's innermost dimension (Mosaic
+double-buffers the HBM->VMEM block DMAs against compute) while running
+max / denominator / output accumulators live in VMEM scratch, so neither
+the (Lq, Lk) score matrix nor the full K/V rows are ever resident: VMEM
+use is O(block^2), independent of sequence length. An earlier design held
+full K/V rows per (batch, head) and hit the 16 MB VMEM ceiling at L~8k.
 
 Training support: `flash_attention` carries a `jax.custom_vjp` whose
 backward is the standard recompute-based flash backward — the forward saves
-only the output and the per-row logsumexp (not the score matrix), and two
-Pallas kernels recompute score blocks on the fly to produce dQ and dK/dV.
-Residual memory is O(L) per row instead of O(L^2), so long-video training
-(8x2048 and beyond) runs the fused path end to end instead of falling back
-to O(L^2) XLA attention. Semantics replaced: the reference encoder's
-torch MHA (model/transformer_encoder_droppath.py:103-125).
+only the output and the per-row logsumexp, and two Pallas kernels recompute
+score blocks on the fly to produce dQ and dK/dV. Residual memory is O(L)
+per row instead of O(L^2), so long-video training (8x2048 and beyond) runs
+the fused path end to end instead of falling back to O(L^2) XLA attention.
+Semantics replaced: the reference encoder's torch MHA
+(model/transformer_encoder_droppath.py:103-125).
 
 Off-TPU callers fall back to the XLA einsum path automatically
 (univtg_tpu/ops/attention.py); set UNIVTG_PALLAS_INTERPRET=1 to force the
 Pallas path in interpreter mode on CPU (used by the grad-parity tests).
 
-Numerics: the kernels' dots use the MXU's native bf16 passes with f32
-accumulation (preferred_element_type), the SAME accuracy class as XLA's
-default attention on TPU -- measured against a float64 host reference at
-(B1 H2 L256 dh128): flash max err 4.5e-3 / mean 2.6e-4 vs XLA-default
-3.7e-3 / 2.7e-4; only Precision.HIGHEST XLA (6x slower passes) reaches
-1e-6. Algorithmic exactness is proven on CPU interpret where f32 dots are
-exact (tests/test_pallas_attention.py, atol 5e-5).
+Numerics: the kernels' dots run in the input dtype with f32 accumulation
+(preferred_element_type) — on bf16 inputs that is the MXU's native
+single-pass mode, the SAME accuracy class as XLA's default attention on
+TPU. Measured against a float64 host reference at (B1 H2 L256 dh128):
+flash max err 4.5e-3 / mean 2.6e-4 vs XLA-default 3.7e-3 / 2.7e-4; only
+Precision.HIGHEST XLA (several-fold slower passes) reaches 1e-6.
+Algorithmic exactness is proven on CPU interpret where f32 dots are exact
+(tests/test_pallas_attention.py, atol 5e-5).
 """
 from __future__ import annotations
 
@@ -39,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+_LANES = 128  # scratch accumulators keep a full lane dim for legal tiling
 
 
 def interpret_enabled() -> bool:
@@ -47,54 +50,61 @@ def interpret_enabled() -> bool:
     return os.environ.get("UNIVTG_PALLAS_INTERPRET", "") == "1"
 
 
+def _compiler_params():
+    # bh and q/k-block dims are independent; only the streamed innermost
+    # dim carries the scratch accumulator dependency
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
-                sm_scale: float):
-    """Grid: (B*H, num_q_blocks). Blocks: q (1, block_q, dh) in VMEM,
-    k/v (1, Lk, dh) in VMEM, mask (1, 1, Lk); outputs o (1, block_q, dh)
-    and per-row logsumexp (1, block_q)."""
-    # dots run in the INPUT dtype with f32 accumulation: on bf16 configs
-    # this is the MXU's native single-pass mode and halves VMEM traffic vs
-    # casting up front (measured 0.77x -> see docs/PERF.md long-video train)
-    q = q_ref[0]  # (block_q, dh), native dtype
-    Lk = k_ref.shape[1]
-    block_q = q.shape[0]
+def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, sm_scale: float):
+    """Grid (BH, nq, nk), nk innermost. Blocks: q/o (1, bq, dh),
+    k/v (1, bk, dh), mask (1, 1, bk), lse (1, bq, 1). The (m, l, acc)
+    online-softmax state lives in VMEM scratch across the nk sweep."""
+    kb, nk = pl.program_id(2), pl.num_programs(2)
 
-    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    num_kb = Lk // block_k
+    q = q_ref[0]  # (bq, dh), native dtype
+    k = k_ref[0]  # (bk, dh)
+    v = v_ref[0]
+    kmask = mask_ref[0, 0, :]  # (bk,)
 
-    def body(kb, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        kmask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]  # (block_k,)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # (bq, bk) f32
+    s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # (block_q, block_k) f32
-        s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
+    m_prev = m_scr[:, :1]  # (bq, 1)
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(
+        l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
+    )
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)  # (block_q, 1)
+    @pl.when(kb == nk - 1)
+    def _():
+        l_safe = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
 
 
 def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float):
@@ -102,33 +112,39 @@ def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float)
     maskh: (BH, 1, Lk)."""
     BH, Lq, dh = qh.shape
     Lk = kh.shape[1]
-    grid = (BH, Lq // block_q)
+    grid = (BH, Lq // block_q, Lk // block_k)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Lk), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, Lk, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, dh), lambda bh, qb: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, qb, kb: (bh, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dh), lambda bh, qb, kb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda bh, qb, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda bh, qb, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, block_q, dh), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, block_q, dh), lambda bh, qb, kb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
             # lse is (BH, Lq, 1): TPU block shapes need the sublane dim
             # divisible by 8 (block_q is) and the lane dim equal to the
-            # array dim (1), which a 2-D (1, block_q) block violates
-            pl.BlockSpec(
-                (1, block_q, 1), lambda bh, qb: (bh, qb, 0), memory_space=pltpu.VMEM
-            ),
+            # array dim (1); a 2-D (1, block_q) block fails lowering
+            pl.BlockSpec((1, block_q, 1), lambda bh, qb, kb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lq, dh), qh.dtype),
             jax.ShapeDtypeStruct((BH, Lq, 1), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running denom
+            pltpu.VMEM((block_q, dh), jnp.float32),      # output acc
+        ],
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * Lq * Lk * dh,
             bytes_accessed=(qh.size + kh.size + vh.size) * qh.dtype.itemsize,
@@ -145,77 +161,83 @@ def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float)
 
 
 def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, *, block_k: int, sm_scale: float):
-    """dQ: one (bh, q-block) instance loops over k blocks.
-    ds = p * (dO V^T - delta);  dQ = sm_scale * ds K."""
-    q = q_ref[0]  # (block_q, dh), native dtype
+                   dq_ref, dq_scr, *, sm_scale: float):
+    """Grid (BH, nq, nk), nk innermost: dQ accumulates in scratch over the
+    streamed K/V blocks. ds = p * (dO V^T - delta); dQ = sm_scale * ds K."""
+    kb, nk = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]  # (block_q, 1)
+    lse = lse_ref[0]  # (bq, 1)
     delta = delta_ref[0]
-    Lk = k_ref.shape[1]
-    acc = jnp.zeros(q.shape, jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
+    kmask = mask_ref[0, 0, :]
 
-    def body(kb, acc):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        kmask = mask_ref[0, 0, pl.ds(kb * block_k, block_k)]
-        s = sm_scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
-        p = jnp.exp(s - lse)  # exact softmax probs (lse saved from fwd)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        return acc + jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    s = sm_scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
+    p = jnp.exp(s - lse)  # exact softmax probs (lse saved from fwd)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    acc = jax.lax.fori_loop(0, Lk // block_k, body, acc)
-    dq_ref[0] = (acc * sm_scale).astype(dq_ref.dtype)
+    @pl.when(kb == nk - 1)
+    def _():
+        dq_ref[0] = (dq_scr[:] * sm_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, block_q: int, sm_scale: float):
-    """dK/dV: one (bh, k-block) instance loops over q blocks.
-    dV = P^T dO;  dK = sm_scale * ds^T Q."""
-    k = k_ref[0]  # (block_k, dh), native dtype
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale: float):
+    """Grid (BH, nk, nq), nq innermost: dK/dV accumulate in scratch over the
+    streamed Q/dO blocks. dV = P^T dO; dK = sm_scale * ds^T Q."""
+    qb, nq = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k = k_ref[0]  # (bk, dh)
     v = v_ref[0]
-    kmask = mask_ref[0, 0, :]  # (block_k,)
-    Lq = q_ref.shape[1]
-    dk = jnp.zeros(k.shape, jnp.float32)
-    dv = jnp.zeros(v.shape, jnp.float32)
+    kmask = mask_ref[0, 0, :]  # (bk,)
+    q = q_ref[0]  # (bq, dh)
+    do = do_ref[0]
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]
 
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :]  # (block_q, 1)
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :]
-        s = sm_scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-        s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
-        p = jnp.exp(s - lse)
-        dv = dv + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk, dv
+    s = sm_scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
+    p = jnp.exp(s - lse)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    dk, dv = jax.lax.fori_loop(0, Lq // block_q, body, (dk, dv))
-    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(qb == nq - 1)
+    def _():
+        dk_ref[0] = (dk_scr[:] * sm_scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
@@ -226,59 +248,65 @@ def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
     )  # (BH, Lq, 1)
 
-    mask_spec_full = pl.BlockSpec(
-        (1, 1, Lk), lambda bh, b: (bh, 0, 0), memory_space=pltpu.VMEM
+    qblk = lambda bh, qb, kb: (bh, qb, 0)
+    kblk = lambda bh, qb, kb: (bh, kb, 0)
+    cost = pl.CostEstimate(
+        flops=6 * BH * Lq * Lk * dh,
+        bytes_accessed=(qh.size * 2 + kh.size + vh.size) * qh.dtype.itemsize,
+        transcendentals=BH * Lq * Lk,
     )
-    qblk = lambda bh, qb: (bh, qb, 0)
-    full = lambda bh, b: (bh, 0, 0)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
-        grid=(BH, Lq // block_q),
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale),
+        grid=(BH, Lq // block_q, Lk // block_k),
         in_specs=[
-            mask_spec_full,
+            pl.BlockSpec((1, 1, block_k), lambda bh, qb, kb: (bh, 0, kb),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, dh), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk, dh), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), kblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), kblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), qblk, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Lq, dh), qh.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * BH * Lq * Lk * dh,
-            bytes_accessed=(qh.size * 2 + kh.size + vh.size) * qh.dtype.itemsize,
-            transcendentals=BH * Lq * Lk,
-        ),
+        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
+        compiler_params=_compiler_params(),
+        cost_estimate=cost,
         interpret=interpret_enabled(),
     )(maskh, qh, kh, vh, g, lse, delta)
 
+    # dkv grid streams Q blocks innermost; index maps swap roles
+    q_in = lambda bh, kb, qb: (bh, qb, 0)
+    k_in = lambda bh, kb, qb: (bh, kb, 0)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
-        grid=(BH, Lk // block_k),
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale),
+        grid=(BH, Lk // block_k, Lq // block_q),
         in_specs=[
-            pl.BlockSpec((1, 1, block_k), lambda bh, kb: (bh, 0, kb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, dh), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, dh), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, kb, qb: (bh, 0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dh), q_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), k_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), k_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dh), q_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), q_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), q_in, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), qblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), k_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), k_in, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lk, dh), kh.dtype),
             jax.ShapeDtypeStruct((BH, Lk, dh), vh.dtype),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=6 * BH * Lq * Lk * dh,
-            bytes_accessed=(qh.size * 2 + kh.size + vh.size) * qh.dtype.itemsize,
-            transcendentals=BH * Lq * Lk,
-        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((block_k, dh), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        cost_estimate=cost,
         interpret=interpret_enabled(),
     )(maskh, qh, kh, vh, g, lse, delta)
     return dq, dk, dv

@@ -187,6 +187,18 @@ def train_mr(
     train_max_q = cfg.train_data.max_q_l if cfg.train_data else cfg.model.max_q_l
     train_max_v = cfg.train_data.max_v_l if cfg.train_data else cfg.model.max_v_l
     v_buckets = tuple(cfg.length_buckets) if cfg.length_buckets else None
+    if v_buckets and cfg.num_shards > 1:
+        # Each process buckets from ITS shard's batch max, so the padded
+        # global shapes (and, with scan_steps, the dispatch sequence) would
+        # diverge across processes and deadlock the SPMD program. A
+        # globally-coordinated bucket plan needs exact (not duration-
+        # estimated) lengths shared across hosts -- docs/BACKLOG.md.
+        raise ValueError(
+            "length_buckets is not yet supported with multi-process data "
+            "sharding (num_shards > 1): per-process bucket choices produce "
+            "inconsistent global batch shapes. Disable length_buckets for "
+            "multi-process runs."
+        )
     lengths = None
     if v_buckets and hasattr(train_ds, "feature_lengths"):
         lengths = train_ds.feature_lengths()
@@ -391,6 +403,7 @@ def train_mr(
         is_main = cfg.shard_index == 0  # rank-0-only eval/ckpt (SURVEY.md 3.3)
         do_eval = eval_ds is not None and (epoch + 1) % cfg.eval_epoch == 0
         stop = False
+        host_state = None  # gathered at most once per epoch
         if do_eval:
             # ALL processes pull a host-addressable state off the global
             # mesh (a collective when tp shards params across hosts, for
@@ -425,7 +438,8 @@ def train_mr(
             logger.info("early stop")
             break
         if cfg.save_interval > 0 and epoch > 0 and epoch % cfg.save_interval == 0:
-            host_state = _host_state(mesh, state)  # collective: all processes
+            if host_state is None:  # collective: all processes
+                host_state = _host_state(mesh, state)
             if is_main:
                 ckpt.save_checkpoint(
                     os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
@@ -434,10 +448,23 @@ def train_mr(
                     cfg_json,
                 )
 
-    if best_metrics is None:  # no eval ran; save final state
+    # Final-state save when no eval produced a best checkpoint. best_metrics
+    # is rank-0-only knowledge (set inside the is_main block), so the
+    # decision to run the _host_state COLLECTIVE must be broadcast -- a bare
+    # `best_metrics is None` would make non-zero ranks launch a gather that
+    # rank 0 never joins and deadlock at shutdown.
+    need_final = best_metrics is None
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        need_final = bool(
+            multihost_utils.broadcast_one_to_all(np.asarray(need_final))
+        )
+    if need_final:
         host_state = _host_state(mesh, state)  # collective: all processes
         if cfg.shard_index == 0:
             ckpt.save_checkpoint(best_path, host_state, cfg.n_epoch - 1, cfg_json)
+    if best_metrics is None:
         best_metrics = {}
     train_log.close()
     eval_log.close()
@@ -445,31 +472,12 @@ def train_mr(
     return best_metrics, best_path
 
 
-def _host_eval_params(mesh, params):
-    """Host-addressable params for rank-0 evaluation.
-
-    Single-process: pass through. Multi-process: a jitted identity with
-    fully-replicated out_shardings -- a COLLECTIVE every process must
-    execute -- gathers tp-sharded leaves (which otherwise span
-    non-addressable devices and make np.asarray raise), then fetches to
-    numpy so the eval jit is process-local."""
-    if jax.process_count() <= 1:
-        return params
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    rep = NamedSharding(mesh, P())
-    out_sh = jax.tree_util.tree_map(lambda _: rep, params)
-    gathered = jax.jit(lambda p: p, out_shardings=out_sh)(params)
-    return jax.tree_util.tree_map(np.asarray, gathered)
-
-
 def _host_state(mesh, state):
     """Host-addressable TrainState for rank-0 checkpointing.
 
     Multi-process, tp sharding that truly spans hosts: a raw
     checkpoint._to_host np.asarray on state.params would raise "spans
-    non-addressable devices" -- the same failure class _host_eval_params
-    fixes for eval. The replicating-identity gather below is a COLLECTIVE:
+    non-addressable devices". The replicating-identity gather below is a COLLECTIVE:
     it must run on EVERY process (call this outside any rank-0 guard), after
     which rank 0 alone can serialize the numpy state. Single-process: the
     state passes through untouched."""
