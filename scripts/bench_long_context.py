@@ -27,13 +27,14 @@ from univtg_tpu.train.steps import make_optimizer  # noqa: E402
 from univtg_tpu.utils.benchkit import time_chained_train  # noqa: E402
 
 
-def main(B=8, Lv=2048, Lt=32, n_iters=20):
+def main(B=8, Lv=2048, Lt=32, n_iters=20, only=None):
     platform = jax.devices()[0].platform
     compute_dtype = "bfloat16" if platform != "cpu" else "float32"
     if platform == "cpu":
         B, Lv, n_iters = 2, 256, 2
     results = {}
-    for impl in ("pallas", "xla"):
+    impls = (only,) if only else ("pallas", "xla")
+    for impl in impls:
         cfg = ModelConfig(
             vid_dim=2818, txt_dim=512, hidden_dim=1024, num_layers=4,
             num_heads=8, ffn_dim=1024, max_v_l=Lv, max_q_l=Lt,
@@ -51,16 +52,17 @@ def main(B=8, Lv=2048, Lt=32, n_iters=20):
             "ms_per_step": round(ms, 3),
             "wall_s": round(time.perf_counter() - t0, 1),
         }), flush=True)
-    speedup = results["pallas"][0] / results["xla"][0]
-    print(json.dumps({
-        "metric": "pallas_vs_xla_train_speedup", "B": B, "Lv": Lv,
-        "value": round(speedup, 3),
-    }), flush=True)
+    if "pallas" in results and "xla" in results:
+        speedup = results["pallas"][0] / results["xla"][0]
+        print(json.dumps({
+            "metric": "pallas_vs_xla_train_speedup", "B": B, "Lv": Lv,
+            "value": round(speedup, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":
     kw = {}
     for arg in sys.argv[1:]:
         k, v = arg.split("=")
-        kw[k] = int(v)
+        kw[k] = v if k == "only" else int(v)
     main(**kw)

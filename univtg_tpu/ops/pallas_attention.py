@@ -109,7 +109,10 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float):
     """Head-split padded tensors -> (out, lse). qh/kh/vh: (BH, L, dh);
-    maskh: (BH, 1, Lk)."""
+    maskh: (BH, 1, Lk). block_k is the STREAM size of the innermost grid
+    dim -- _stream_block picks the whole row when it fits VMEM (one big MXU
+    dot per (bh, q-block), measured fastest at 2k lengths) and 512-chunks
+    beyond that (no VMEM ceiling)."""
     BH, Lq, dh = qh.shape
     Lk = kh.shape[1]
     grid = (BH, Lq // block_q, Lk // block_k)
@@ -317,26 +320,31 @@ def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _flash_core(block_q, block_k, sm_scale, maskh, qh, kh, vh):
+# Forward and backward take SEPARATE stream sizes: the forward has few
+# operands and can take a whole ~2.5k row in one grid step (single big MXU
+# dot), while the backward's 7 inputs + outputs + scratch at f32 cotangent
+# width exceed the 16 MB VMEM at that stream size (measured 17.8M) -- it
+# stays on regular block streaming.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_core(block_q, stream_fwd, stream_bwd, sm_scale, maskh, qh, kh, vh):
     out, _ = _fwd_impl(
-        maskh, qh, kh, vh, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+        maskh, qh, kh, vh, block_q=block_q, block_k=stream_fwd, sm_scale=sm_scale
     )
     return out
 
 
-def _flash_core_fwd(block_q, block_k, sm_scale, maskh, qh, kh, vh):
+def _flash_core_fwd(block_q, stream_fwd, stream_bwd, sm_scale, maskh, qh, kh, vh):
     out, lse = _fwd_impl(
-        maskh, qh, kh, vh, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+        maskh, qh, kh, vh, block_q=block_q, block_k=stream_fwd, sm_scale=sm_scale
     )
     return out, (maskh, qh, kh, vh, out, lse)
 
 
-def _flash_core_bwd(block_q, block_k, sm_scale, residuals, g):
+def _flash_core_bwd(block_q, stream_fwd, stream_bwd, sm_scale, residuals, g):
     maskh, qh, kh, vh, out, lse = residuals
     dq, dk, dv = _bwd_impl(
         maskh, qh, kh, vh, out, lse, g,
-        block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+        block_q=block_q, block_k=stream_bwd, sm_scale=sm_scale,
     )
     return jnp.zeros_like(maskh), dq, dk, dv
 
@@ -351,6 +359,18 @@ def _auto_block(L: int) -> int:
     15.1 ms for XLA attention), while short sequences stay at one tight
     block instead of padding to 512."""
     return int(min(512, max(128, -(-L // 128) * 128)))
+
+
+# Streamed rows up to this length are taken in ONE grid step (k/v block +
+# the (block, stream) f32 probability tile stay well under the 16 MB VMEM):
+# 512x2560 f32 p-tile = 5 MB, k/v 2560x128 bf16 = 0.65 MB each.
+_MAX_STREAM = 2560
+
+
+def _stream_block(Lp: int, block: int) -> int:
+    """Innermost-dim block: the whole (padded) row when it fits, else the
+    regular block size for unbounded-length streaming."""
+    return Lp if Lp <= _MAX_STREAM else block
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k"))
@@ -368,7 +388,8 @@ def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
     Lk = k.shape[1]
     if block_q is None:
         block_q = _auto_block(Lq)
-    if block_k is None:
+    auto_k = block_k is None
+    if auto_k:
         block_k = _auto_block(Lk)
     H = num_heads
     dh = D // H
@@ -396,7 +417,13 @@ def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
     vh = split_heads(vp, Lkp)
     maskh = jnp.repeat(maskp, H, axis=0)[:, None, :]  # (B*H, 1, Lkp)
 
-    out = _flash_core(block_q, block_k, sm_scale, maskh, qh, kh, vh)
+    # auto mode collapses the FORWARD k stream to ONE grid step when the
+    # padded row fits VMEM (single big MXU dot -- fastest at ~2k lengths);
+    # the backward always block-streams (its operand set would bust VMEM at
+    # full-row streams), and explicit block_k (tests) keeps multi-block
+    # streaming exercised in both
+    stream_fwd = _stream_block(Lkp, block_k) if auto_k else block_k
+    out = _flash_core(block_q, stream_fwd, block_k, sm_scale, maskh, qh, kh, vh)
 
     out = out.reshape(B, H, Lqp, dh).transpose(0, 2, 1, 3).reshape(B, Lqp, D)
     return out[:, :Lq]
