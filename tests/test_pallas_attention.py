@@ -197,3 +197,114 @@ def test_encoder_training_equivalence_pallas_vs_xla():
         got = run("pallas")
     np.testing.assert_allclose(got, base, rtol=2e-5)
     assert base[-1] < base[0]  # actually learning
+
+
+def test_flash_dropout_forward_semantics():
+    """In-kernel attention dropout: deterministic per seed, seed-dependent,
+    unbiased (mean over seeds ~ no-dropout output), and masked keys stay
+    excluded."""
+    import univtg_tpu.ops.pallas_attention as pa
+
+    B, H, D, L = 1, 2, 16, 32
+    q, k, v = _rand_qkv(7, B, L, L, D)
+    mask = np.ones((B, L), np.float32)
+    mask[0, 24:] = 0
+    mask = jnp.asarray(mask)
+    fn = pa.flash_attention.__wrapped__
+
+    with pallas_interpret():
+        base = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16)
+        o1 = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16,
+                dropout_rate=0.5, dropout_seed=jnp.int32(3))
+        o1b = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16,
+                 dropout_rate=0.5, dropout_seed=jnp.int32(3))
+        o2 = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16,
+                dropout_rate=0.5, dropout_seed=jnp.int32(4))
+        acc = np.zeros_like(np.asarray(base))
+        n_seeds = 64
+        for sd in range(n_seeds):
+            acc += np.asarray(
+                fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16,
+                   dropout_rate=0.5, dropout_seed=jnp.int32(100 + sd))
+            )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o1b))  # deterministic
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-3  # seed matters
+    assert np.abs(np.asarray(o1) - np.asarray(base)).max() > 1e-3  # drops happen
+    # unbiased estimator of the undropped attention
+    err = np.abs(acc / n_seeds - np.asarray(base))
+    assert err.mean() < 0.15, err.mean()
+
+
+def test_flash_dropout_grad_finite_difference():
+    """The backward regenerates the forward's exact dropout mask: for a
+    fixed seed the op is deterministic, so its custom-vjp gradient must
+    match central finite differences along random directions."""
+    import univtg_tpu.ops.pallas_attention as pa
+
+    B, H, D, L = 1, 2, 16, 32
+    q, k, v = _rand_qkv(8, B, L, L, D)
+    mask = jnp.asarray(np.ones((B, L), np.float32))
+    w = jnp.asarray(
+        np.random.default_rng(9).standard_normal((B, L, D)), jnp.float32
+    )
+    fn = pa.flash_attention.__wrapped__
+
+    def loss(q, k, v):
+        out = fn(q, k, v, mask, num_heads=H, block_q=16, block_k=16,
+                 dropout_rate=0.3, dropout_seed=jnp.int32(11))
+        return jnp.sum(out * w)
+
+    with pallas_interpret():
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        rng = np.random.default_rng(10)
+        eps = 1e-3
+        for i, (name, x) in enumerate(zip("qkv", (q, k, v))):
+            direction = jnp.asarray(
+                rng.standard_normal(x.shape), jnp.float32
+            )
+            args_p = [q, k, v]
+            args_m = [q, k, v]
+            args_p[i] = x + eps * direction
+            args_m[i] = x - eps * direction
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+            analytic = float(jnp.sum(grads[i] * direction))
+            assert abs(fd - analytic) <= 5e-3 * max(1.0, abs(fd)), (
+                name, fd, analytic,
+            )
+
+
+def test_mha_pallas_dropout_uses_kernel_path():
+    """multihead_attention with impl='pallas' + dropout stays on the fused
+    path (no silent XLA fallback): outputs are rng-deterministic and differ
+    from the no-dropout result."""
+    from univtg_tpu.ops.attention import multihead_attention
+
+    B, L, D, H = 2, 32, 16, 2
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    params = dict(
+        in_proj_kernel=jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.1, jnp.float32),
+        in_proj_bias=jnp.zeros((3 * D,), jnp.float32),
+        out_kernel=jnp.asarray(np.eye(D), jnp.float32),
+        out_bias=jnp.zeros((D,), jnp.float32),
+    )
+    mask = jnp.ones((B, L), jnp.float32)
+    with pallas_interpret():
+        base = multihead_attention(
+            x, x, x, **params, num_heads=H, key_padding_mask=mask, impl="pallas"
+        )
+        d1 = multihead_attention(
+            x, x, x, **params, num_heads=H, key_padding_mask=mask, impl="pallas",
+            dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(0),
+        )
+        d1b = multihead_attention(
+            x, x, x, **params, num_heads=H, key_padding_mask=mask, impl="pallas",
+            dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(0),
+        )
+        d2 = multihead_attention(
+            x, x, x, **params, num_heads=H, key_padding_mask=mask, impl="pallas",
+            dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(1),
+        )
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+    assert np.abs(np.asarray(d1) - np.asarray(base)).max() > 1e-4
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() > 1e-4

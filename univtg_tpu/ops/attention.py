@@ -97,11 +97,12 @@ def multihead_attention(
       impl: "xla" | "pallas".
     """
     impl = resolve_impl(impl)
-    if impl in ("pallas", "ring") and dropout_rate > 0.0 and dropout_rng is not None:
-        # neither the fused kernel nor the ring implements attention-
-        # probability dropout; correctness wins over fusion/sharding when a
-        # config trains with attn dropout on (in-kernel PRNG dropout is
-        # backlog -- docs/BACKLOG.md)
+    if impl == "ring" and dropout_rate > 0.0 and dropout_rng is not None:
+        # the ring does not implement attention-probability dropout;
+        # correctness wins over sharding when a config trains with attn
+        # dropout on (docs/BACKLOG.md). The pallas path implements dropout
+        # IN-KERNEL (deterministic per-tile PRNG regenerated in the
+        # backward -- ops/pallas_attention.py).
         impl = "xla"
     D = q_in.shape[-1]
     # NOTE(roofline): fusing the q/k projections into one (D, 2D) matmul when
@@ -135,7 +136,15 @@ def multihead_attention(
     if impl == "pallas":
         from univtg_tpu.ops.pallas_attention import flash_attention
 
-        out = flash_attention(q, k, v, key_padding_mask, num_heads=num_heads)
+        kw = {}
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            kw = dict(
+                dropout_rate=float(dropout_rate),
+                dropout_seed=jax.random.randint(
+                    dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                ),
+            )
+        out = flash_attention(q, k, v, key_padding_mask, num_heads=num_heads, **kw)
     elif impl != "ring":
         bias = None
         if key_padding_mask is not None:

@@ -50,6 +50,34 @@ def interpret_enabled() -> bool:
     return os.environ.get("UNIVTG_PALLAS_INTERPRET", "") == "1"
 
 
+def _dropout_keep(seed_ref, rate: float, qb, kb, shape):
+    """Deterministic per-(bh, q-tile, k-tile) dropout keep mask, scaled by
+    1/(1-rate). The SAME (qb, kb) tile must regenerate the SAME bits in the
+    forward and in both backward kernels, so the bits come from a
+    counter-based hash of (seed, bh, qb, kb, row, col) -- pure jnp (VPU
+    ops), so it runs identically under Mosaic and CPU interpret, unlike
+    pltpu.prng_* which has no CPU lowering. Murmur3-style finalizer for
+    avalanche; plenty for dropout. Equal tiling across the three kernels is
+    still required (no stream collapse under dropout) so (qb, kb) mean the
+    same tile everywhere."""
+    bh = pl.program_id(0)
+    seed = (
+        seed_ref[0, 0].astype(jnp.uint32)
+        + (bh.astype(jnp.uint32) * 8192 + qb.astype(jnp.uint32)) * 8192
+        + kb.astype(jnp.uint32)
+    )
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = rows * jnp.uint32(65599) + cols + seed * jnp.uint32(2654435761)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return (x >= thresh).astype(jnp.float32) / (1.0 - rate)
+
+
 def _compiler_params():
     # bh and q/k-block dims are independent; only the streamed innermost
     # dim carries the scratch accumulator dependency
@@ -63,8 +91,8 @@ def _compiler_params():
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, sm_scale: float):
+def _fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, sm_scale: float, dropout_rate: float):
     """Grid (BH, nq, nk), nk innermost. Blocks: q/o (1, bq, dh),
     k/v (1, bk, dh), mask (1, 1, bk), lse (1, bq, 1). The (m, l, acc)
     online-softmax state lives in VMEM scratch across the nk sweep."""
@@ -92,11 +120,18 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    # the denominator uses the UNdropped p: dropout(softmax(s)) ==
+    # (p * keep/(1-r)) / sum(p), since torch drops AFTER normalization
     l_scr[:] = jnp.broadcast_to(
         l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
     )
+    p_acc = p
+    if dropout_rate > 0.0:
+        p_acc = p * _dropout_keep(
+            seed_ref, dropout_rate, pl.program_id(1), kb, p.shape
+        )
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -107,7 +142,8 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
 
 
-def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float):
+def _fwd_impl(seed, maskh, qh, kh, vh, *, block_q: int, block_k: int,
+              sm_scale: float, dropout_rate: float = 0.0):
     """Head-split padded tensors -> (out, lse). qh/kh/vh: (BH, L, dh);
     maskh: (BH, 1, Lk). block_k is the STREAM size of the innermost grid
     dim -- _stream_block picks the whole row when it fits VMEM (one big MXU
@@ -117,9 +153,13 @@ def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float)
     Lk = kh.shape[1]
     grid = (BH, Lq // block_q, Lk // block_k)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate
+        ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bh, qb, kb: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_k), lambda bh, qb, kb: (bh, 0, kb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh), lambda bh, qb, kb: (bh, qb, 0),
@@ -154,7 +194,7 @@ def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float)
             transcendentals=BH * Lq * Lk,
         ),
         interpret=interpret_enabled(),
-    )(maskh, qh, kh, vh)
+    )(seed, maskh, qh, kh, vh)
     return out, lse
 
 
@@ -163,8 +203,9 @@ def _fwd_impl(maskh, qh, kh, vh, *, block_q: int, block_k: int, sm_scale: float)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_scr, *, sm_scale: float):
+def _bwd_dq_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dq_scr, *, sm_scale: float,
+                   dropout_rate: float):
     """Grid (BH, nq, nk), nk innermost: dQ accumulates in scratch over the
     streamed K/V blocks. ds = p * (dO V^T - delta); dQ = sm_scale * ds K."""
     kb, nk = pl.program_id(2), pl.num_programs(2)
@@ -189,6 +230,12 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        # regenerate the forward's exact keep mask for this (qb, kb) tile;
+        # the delta identity survives dropout (delta = rowsum(dO * out))
+        dp = dp * _dropout_keep(
+            seed_ref, dropout_rate, pl.program_id(1), kb, p.shape
+        )
     ds = p * (dp - delta)
     dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -200,8 +247,9 @@ def _bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = (dq_scr[:] * sm_scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale: float):
+def _bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    sm_scale: float, dropout_rate: float):
     """Grid (BH, nk, nq), nq innermost: dK/dV accumulate in scratch over the
     streamed Q/dO blocks. dV = P^T dO; dK = sm_scale * ds^T Q."""
     qb, nq = pl.program_id(2), pl.num_programs(2)
@@ -224,13 +272,22 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     )  # (bq, bk)
     s = s + (1.0 - kmask.astype(jnp.float32))[None, :] * NEG_INF
     p = jnp.exp(s - lse)
+    p_drop = p
+    if dropout_rate > 0.0:
+        # NOTE the transposed grid: here qb is program_id(2), kb is
+        # program_id(1); the (qb, kb) tile coordinates passed to the PRNG
+        # must match the forward's orientation
+        d = _dropout_keep(seed_ref, dropout_rate, qb, pl.program_id(1), p.shape)
+        p_drop = p * d
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        dp = dp * d
     ds = p * (dp - delta)
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -243,7 +300,8 @@ def _bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
+def _bwd_impl(seed, maskh, qh, kh, vh, out, lse, g, *, block_q, block_k,
+              sm_scale, dropout_rate: float = 0.0):
     BH, Lq, dh = qh.shape
     Lk = kh.shape[1]
     # per-row rowsum(dO * O) -- tiny elementwise reduce, XLA fuses it
@@ -259,10 +317,15 @@ def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
         transcendentals=BH * Lq * Lk,
     )
 
+    seed_spec_q = pl.BlockSpec((1, 1), lambda bh, qb, kb: (0, 0),
+                               memory_space=pltpu.SMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale),
+        functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate
+        ),
         grid=(BH, Lq // block_q, Lk // block_k),
         in_specs=[
+            seed_spec_q,
             pl.BlockSpec((1, 1, block_k), lambda bh, qb, kb: (bh, 0, kb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh), qblk, memory_space=pltpu.VMEM),
@@ -278,15 +341,19 @@ def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
         compiler_params=_compiler_params(),
         cost_estimate=cost,
         interpret=interpret_enabled(),
-    )(maskh, qh, kh, vh, g, lse, delta)
+    )(seed, maskh, qh, kh, vh, g, lse, delta)
 
     # dkv grid streams Q blocks innermost; index maps swap roles
     q_in = lambda bh, kb, qb: (bh, qb, 0)
     k_in = lambda bh, kb, qb: (bh, kb, 0)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale),
+        functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate
+        ),
         grid=(BH, Lk // block_k, Lq // block_q),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda bh, kb, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_k), lambda bh, kb, qb: (bh, 0, kb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh), q_in, memory_space=pltpu.VMEM),
@@ -311,7 +378,7 @@ def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
         compiler_params=_compiler_params(),
         cost_estimate=cost,
         interpret=interpret_enabled(),
-    )(maskh, qh, kh, vh, g, lse, delta)
+    )(seed, maskh, qh, kh, vh, g, lse, delta)
     return dq, dk, dv
 
 
@@ -325,28 +392,34 @@ def _bwd_impl(maskh, qh, kh, vh, out, lse, g, *, block_q, block_k, sm_scale):
 # dot), while the backward's 7 inputs + outputs + scratch at f32 cotangent
 # width exceed the 16 MB VMEM at that stream size (measured 17.8M) -- it
 # stays on regular block streaming.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _flash_core(block_q, stream_fwd, stream_bwd, sm_scale, maskh, qh, kh, vh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_core(block_q, stream_fwd, stream_bwd, sm_scale, dropout_rate,
+                seed, maskh, qh, kh, vh):
     out, _ = _fwd_impl(
-        maskh, qh, kh, vh, block_q=block_q, block_k=stream_fwd, sm_scale=sm_scale
+        seed, maskh, qh, kh, vh, block_q=block_q, block_k=stream_fwd,
+        sm_scale=sm_scale, dropout_rate=dropout_rate,
     )
     return out
 
 
-def _flash_core_fwd(block_q, stream_fwd, stream_bwd, sm_scale, maskh, qh, kh, vh):
+def _flash_core_fwd(block_q, stream_fwd, stream_bwd, sm_scale, dropout_rate,
+                    seed, maskh, qh, kh, vh):
     out, lse = _fwd_impl(
-        maskh, qh, kh, vh, block_q=block_q, block_k=stream_fwd, sm_scale=sm_scale
+        seed, maskh, qh, kh, vh, block_q=block_q, block_k=stream_fwd,
+        sm_scale=sm_scale, dropout_rate=dropout_rate,
     )
-    return out, (maskh, qh, kh, vh, out, lse)
+    return out, (seed, maskh, qh, kh, vh, out, lse)
 
 
-def _flash_core_bwd(block_q, stream_fwd, stream_bwd, sm_scale, residuals, g):
-    maskh, qh, kh, vh, out, lse = residuals
+def _flash_core_bwd(block_q, stream_fwd, stream_bwd, sm_scale, dropout_rate,
+                    residuals, g):
+    seed, maskh, qh, kh, vh, out, lse = residuals
     dq, dk, dv = _bwd_impl(
-        maskh, qh, kh, vh, out, lse, g,
+        seed, maskh, qh, kh, vh, out, lse, g,
         block_q=block_q, block_k=stream_bwd, sm_scale=sm_scale,
+        dropout_rate=dropout_rate,
     )
-    return jnp.zeros_like(maskh), dq, dk, dv
+    return jnp.zeros_like(seed), jnp.zeros_like(maskh), dq, dk, dv
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -373,16 +446,26 @@ def _stream_block(Lp: int, block: int) -> int:
     return Lp if Lp <= _MAX_STREAM else block
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "dropout_rate"),
+)
 def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
-                    block_q: int = None, block_k: int = None):
+                    block_q: int = None, block_k: int = None,
+                    dropout_rate: float = 0.0, dropout_seed=None):
     """Fused SDPA. q/k/v: (B, L, D) post-projection; mask: (B, Lk) 1=valid.
 
     Returns (B, Lq, D). Sequences are padded to block multiples internally;
     padded keys are masked, padded queries are sliced off. Differentiable
-    (custom-vjp flash backward); attention-probability dropout is NOT
-    supported on this path — callers fall back to XLA when they need it
-    (univtg_tpu/ops/attention.py). Block sizes default to _auto_block(L).
+    (custom-vjp flash backward). Block sizes default to _auto_block(L).
+
+    dropout_rate > 0 applies attention-probability dropout INSIDE the
+    kernels (torch MHA semantics: drop after normalization, scale by
+    1/(1-rate)); `dropout_seed` (int32 scalar, e.g. derived from a PRNG
+    key) makes the mask deterministic — the backward regenerates the
+    forward's exact keep pattern from the same per-tile seeds, which is
+    also why dropout disables the forward stream collapse (fwd and bwd
+    must tile identically).
     """
     B, Lq, D = q.shape
     Lk = k.shape[1]
@@ -421,9 +504,19 @@ def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
     # padded row fits VMEM (single big MXU dot -- fastest at ~2k lengths);
     # the backward always block-streams (its operand set would bust VMEM at
     # full-row streams), and explicit block_k (tests) keeps multi-block
-    # streaming exercised in both
-    stream_fwd = _stream_block(Lkp, block_k) if auto_k else block_k
-    out = _flash_core(block_q, stream_fwd, block_k, sm_scale, maskh, qh, kh, vh)
+    # streaming exercised in both. Dropout pins fwd tiling to the bwd's.
+    stream_fwd = (
+        _stream_block(Lkp, block_k)
+        if auto_k and dropout_rate == 0.0
+        else block_k
+    )
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
+    out = _flash_core(
+        block_q, stream_fwd, block_k, sm_scale, float(dropout_rate),
+        seed, maskh, qh, kh, vh,
+    )
 
     out = out.reshape(B, H, Lqp, dh).transpose(0, 2, 1, 3).reshape(B, Lqp, D)
     return out[:, :Lq]
