@@ -81,6 +81,11 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
             max_q_l=10,
             max_v_l=a["max_clips"],
         )
+    length_buckets = None
+    if mode == "buckets":
+        # global bucket PLAN across the gang: both ranks must derive the
+        # same per-step pad targets from the shared metadata lengths
+        length_buckets = (32, 48, a["max_clips"])
     if mode == "evaltp":
         # dp=2 x tp=2 over the 4 global devices; row-major device order
         # keeps each tp PAIR within one host (the production Megatron
@@ -113,6 +118,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         seed=7,
         inject_fault_epoch=fault_epoch,
         inject_fault_rank=1,
+        length_buckets=length_buckets,
     )
 
 

@@ -243,30 +243,104 @@ def test_ladder_below_max_never_truncates():
     assert int(b["targets"]["saliency_pos_labels"].max()) < 64
 
 
-def test_length_buckets_rejected_under_multiprocess_sharding(tmp_path):
-    """Per-process bucket choices would diverge global batch shapes across
-    an SPMD gang -> explicit error instead of a silent deadlock."""
+
+
+def test_global_bucket_plan_consistent_across_shards():
+    """plan_shards: every rank derives the identical global batch plan, the
+    ranks' batches partition the dataset exactly, per-step pad targets are
+    identical across ranks, and the collated shapes agree (the SPMD shape
+    contract for multi-process length bucketing)."""
+
+    class Toy:
+        def __init__(self, n, rng):
+            self.lengths = rng.integers(8, 65, n)
+
+        def __len__(self):
+            return len(self.lengths)
+
+        def __getitem__(self, i):
+            return int(i)
+
+    rng = np.random.default_rng(4)
+    ds = Toy(140, rng)  # NOT a multiple of the global batch (drops remainder)
+    collected = {}
+    for shard in (0, 1):
+        loader = Loader(
+            ds, 8,
+            lambda items, pad_batch_to, pad_v_to=None: (list(items), pad_v_to),
+            shuffle=True, seed=3, num_threads=2,
+            shard_index=shard, num_shards=2,
+            lengths=ds.lengths, plan_shards=True, plan_buckets=(16, 32, 64),
+        )
+        assert len(loader) == 140 // 16  # full global batches only
+        collected[shard] = list(loader)
+
+    seen = []
+    for (b0, h0), (b1, h1) in zip(collected[0], collected[1]):
+        assert h0 == h1  # identical per-step pad target on every rank
+        assert len(b0) == len(b1) == 8
+        # the hint covers both ranks' actual lengths (margin included)
+        assert max(ds.lengths[b0 + b1]) <= h0
+        seen += b0 + b1
+    assert len(seen) == len(set(seen)) == 16 * (140 // 16)  # exact partition
+
+    # epoch change -> different plan, still consistent
+    l0 = Loader(
+        ds, 8, lambda items, pad_batch_to, pad_v_to=None: (list(items), pad_v_to),
+        shuffle=True, seed=3, num_threads=2, shard_index=0, num_shards=2,
+        lengths=ds.lengths, plan_shards=True, plan_buckets=(16, 32, 64),
+    )
+    l0.set_epoch(1)
+    other = [b for b, _ in l0]
+    assert other != [b for b, _ in collected[0]]
+
+
+def test_collate_pad_v_to_refuses_truncation():
+    rng = np.random.default_rng(5)
+    items = [_item(rng, 20)]
+    with pytest.raises(ValueError, match="refusing to truncate"):
+        collate_mr(items, 8, 64, pad_v_to=16)
+    b = collate_mr(items, 8, 64, pad_v_to=32)
+    assert b["model_inputs"]["src_vid"].shape[1] == 32
+
+
+def test_driver_multiprocess_guard_without_lengths(tmp_path):
+    """Datasets without feature_lengths() cannot be bucket-planned across
+    ranks -> clear error instead of an SPMD shape divergence."""
     from univtg_tpu.data.mr import MRDataConfig
     from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
     from univtg_tpu.models import ModelConfig
     from univtg_tpu.train.driver_mr import TrainConfig, train_mr
 
     corpus = create_synthetic_mr_corpus(str(tmp_path / "c"), n_train=8, n_val=4, seed=1)
+
+    class NoLengths:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __getitem__(self, i):
+            return self._inner[i]
+
+    from univtg_tpu.data.mr import MRDataset
+
+    data_cfg = MRDataConfig(
+        dset_name="qvhighlights", data_path=corpus["train_path"],
+        v_feat_dirs=corpus["v_feat_dirs"], q_feat_dir=corpus["q_feat_dir"],
+        q_feat_dim=corpus["q_dim"], v_feat_dim=corpus["v_dim"],
+        clip_len=corpus["clip_len"], max_q_l=10, max_v_l=corpus["max_clips"],
+    )
     model = ModelConfig(
         vid_dim=corpus["v_dim"] + 2, txt_dim=corpus["q_dim"], hidden_dim=32,
         num_layers=1, num_heads=4, ffn_dim=48, max_v_l=corpus["max_clips"], max_q_l=10,
     )
     cfg = TrainConfig(
-        model=model,
-        train_data=MRDataConfig(
-            dset_name="qvhighlights", data_path=corpus["train_path"],
-            v_feat_dirs=corpus["v_feat_dirs"], q_feat_dir=corpus["q_feat_dir"],
-            q_feat_dim=corpus["q_dim"], v_feat_dim=corpus["v_dim"],
-            clip_len=corpus["clip_len"], max_q_l=10, max_v_l=corpus["max_clips"],
-        ),
+        model=model, train_data=data_cfg,
         results_dir=str(tmp_path / "run"),
         bsz=4, n_epoch=1, dp=1, length_buckets=(48, 64), num_shards=2,
         shard_index=0,
     )
-    with pytest.raises(ValueError, match="length_buckets"):
-        train_mr(cfg)
+    with pytest.raises(ValueError, match="feature_lengths"):
+        train_mr(cfg, train_dataset=NoLengths(MRDataset(data_cfg)))

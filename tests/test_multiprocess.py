@@ -316,3 +316,22 @@ def test_elastic_restart_two_process_gang(corpus_meta, tmp_path):
             want["loss_overall"], rel=1e-6
         ), (line["epoch"], line["loss_overall"], want["loss_overall"])
         assert line["steps"] == want["steps"]
+
+
+@pytest.mark.slow
+def test_two_process_gang_with_length_buckets(corpus_meta, tmp_path):
+    """length_buckets under a REAL 2-process gang: the global bucket plan
+    keeps SPMD shapes rank-uniform (no deadlock), both ranks see the same
+    global loss, and the epoch covers the full (remainder-dropped) plan."""
+    results = str(tmp_path / "mp_buckets")
+    procs = _launch_gang(2, corpus_meta, results, mode="buckets")
+    _wait_gang(procs, timeout=900)
+    logs = []
+    for pid in range(2):
+        path = os.path.join(results, f"p{pid}", "train_log.jsonl")
+        logs.append([json.loads(l) for l in open(path)])
+    assert len(logs[0]) == len(logs[1]) == 2
+    for l0, l1 in zip(logs[0], logs[1]):
+        assert np.isfinite(l0["loss_overall"])
+        assert l0["loss_overall"] == pytest.approx(l1["loss_overall"], rel=1e-6)
+        assert l0["steps"] == l1["steps"] == 2  # 32 samples // (8*2) global

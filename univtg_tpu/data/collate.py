@@ -20,12 +20,18 @@ def collate_mr(
     pad_batch_to: Optional[int] = None,
     max_windows: int = 5,
     v_buckets: Optional[Sequence[int]] = None,
+    pad_v_to: Optional[int] = None,
 ):
     """Items (from MRDataset) -> {'model_inputs', 'targets', 'meta'}.
 
     If pad_batch_to is given, the batch dim is padded with repeats of the
     last item and `batch_mask` marks real rows (keeps shapes static for the
     final partial batch of an epoch).
+
+    pad_v_to: explicit video pad target (multi-process bucket PLAN: every
+    rank is told the same target so global SPMD shapes cannot diverge);
+    the batch's actual max must fit it -- truncation raises instead of
+    silently cutting features out from under the label indices.
 
     v_buckets: optional video-length bucket ladder. The batch pads to the
     smallest bucket >= the batch's max clip count (capped at max_v_l)
@@ -41,7 +47,16 @@ def collate_mr(
     if pad_batch_to is not None and n_real < pad_batch_to:
         items = list(items) + [items[-1]] * (pad_batch_to - n_real)
 
-    if v_buckets:
+    if pad_v_to is not None:
+        pad_v = min(int(pad_v_to), max_v_l)
+        batch_max = max(len(it["video_feat"]) for it in items)
+        if batch_max > pad_v:
+            raise ValueError(
+                f"pad_v_to={pad_v} is below the batch's actual max clip "
+                f"count ({batch_max}): the planner's length estimates "
+                f"under-shoot the on-disk features; refusing to truncate."
+            )
+    elif v_buckets:
         batch_max = max(len(it["video_feat"]) for it in items)
         # max_v_l acts as the implicit top bucket: a ladder whose largest
         # rung is below the batch max must NOT truncate (pad_stack would

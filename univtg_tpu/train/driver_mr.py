@@ -187,26 +187,24 @@ def train_mr(
     train_max_q = cfg.train_data.max_q_l if cfg.train_data else cfg.model.max_q_l
     train_max_v = cfg.train_data.max_v_l if cfg.train_data else cfg.model.max_v_l
     v_buckets = tuple(cfg.length_buckets) if cfg.length_buckets else None
-    if v_buckets and cfg.num_shards > 1:
-        # Each process buckets from ITS shard's batch max, so the padded
-        # global shapes (and, with scan_steps, the dispatch sequence) would
-        # diverge across processes and deadlock the SPMD program. A
-        # globally-coordinated bucket plan needs exact (not duration-
-        # estimated) lengths shared across hosts -- docs/BACKLOG.md.
-        raise ValueError(
-            "length_buckets is not yet supported with multi-process data "
-            "sharding (num_shards > 1): per-process bucket choices produce "
-            "inconsistent global batch shapes. Disable length_buckets for "
-            "multi-process runs."
-        )
     lengths = None
     if v_buckets and hasattr(train_ds, "feature_lengths"):
         lengths = train_ds.feature_lengths()
+    if v_buckets and cfg.num_shards > 1 and lengths is None:
+        # Without shared per-item lengths, each process would bucket from
+        # ITS shard's batch max and the padded global shapes would diverge
+        # across the SPMD gang -- deadlock, not a clean error, downstream.
+        raise ValueError(
+            "length_buckets with multi-process sharding (num_shards > 1) "
+            "requires a dataset exposing feature_lengths() so every rank "
+            "can compute the identical global bucket plan."
+        )
     train_loader = Loader(
         train_ds,
         cfg.bsz,
-        lambda items, pad_batch_to: collate_mr(
-            items, train_max_q, train_max_v, pad_batch_to, v_buckets=v_buckets
+        lambda items, pad_batch_to, pad_v_to=None: collate_mr(
+            items, train_max_q, train_max_v, pad_batch_to,
+            v_buckets=v_buckets, pad_v_to=pad_v_to,
         ),
         shuffle=True,
         seed=cfg.seed,
@@ -214,6 +212,11 @@ def train_mr(
         shard_index=cfg.shard_index,
         num_shards=cfg.num_shards,
         lengths=lengths,
+        # multi-process + buckets: every rank derives the SAME global batch
+        # plan (batches AND per-batch pad targets) from the shared metadata
+        # lengths, so SPMD shapes stay rank-uniform (data/loader.py)
+        plan_shards=bool(v_buckets),
+        plan_buckets=v_buckets,
     )
     steps_per_epoch = len(train_loader)
     model, optimizer, state = build_everything(cfg, steps_per_epoch)
