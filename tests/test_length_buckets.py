@@ -295,13 +295,24 @@ def test_global_bucket_plan_consistent_across_shards():
     assert other != [b for b, _ in collected[0]]
 
 
-def test_collate_pad_v_to_refuses_truncation():
+def test_collate_pad_v_to_undershoot_warns_and_clamps():
+    """Plan under-shoot (metadata durations disagree with feature files):
+    collate keeps the rank-uniform planned shape -- raising on ONE rank
+    would hang the rest of the SPMD gang mid-collective -- but warns loudly
+    and clamps clip-index labels into range instead of leaving them
+    pointing past the cut."""
     rng = np.random.default_rng(5)
-    items = [_item(rng, 20)]
-    with pytest.raises(ValueError, match="refusing to truncate"):
-        collate_mr(items, 8, 64, pad_v_to=16)
-    b = collate_mr(items, 8, 64, pad_v_to=32)
-    assert b["model_inputs"]["src_vid"].shape[1] == 32
+    item = _item(rng, 20)
+    item["saliency_pos_labels"] = np.asarray([19], np.int32)  # will be cut
+    with pytest.warns(UserWarning, match="under-shoot"):
+        b = collate_mr([item], 8, 64, pad_v_to=16)
+    assert b["model_inputs"]["src_vid"].shape[1] == 16  # planned shape kept
+    assert int(b["targets"]["saliency_pos_labels"].max()) <= 15
+    assert int(b["targets"]["saliency_neg_labels"].max()) <= 15
+
+    # adequate plan: no warning, no clamp
+    b2 = collate_mr([_item(rng, 20)], 8, 64, pad_v_to=32)
+    assert b2["model_inputs"]["src_vid"].shape[1] == 32
 
 
 def test_driver_multiprocess_guard_without_lengths(tmp_path):

@@ -308,3 +308,36 @@ def test_mha_pallas_dropout_uses_kernel_path():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
     assert np.abs(np.asarray(d1) - np.asarray(base)).max() > 1e-4
     assert np.abs(np.asarray(d1) - np.asarray(d2)).max() > 1e-4
+
+
+def test_flash_dropout_masks_differ_across_batch_heads():
+    """Regression (review r3-2): the tile-seed mixing must not wrap -- with
+    identical q/k/v tiled across a batch of 65, example 64 would get
+    example 0's exact dropout mask under the old base-8192 packing (period
+    64 in the batch-head index) and produce an identical output row."""
+    import univtg_tpu.ops.pallas_attention as pa
+
+    B, H, D, L = 65, 1, 8, 16
+    rng = np.random.default_rng(13)
+    one = rng.standard_normal((1, L, D)).astype(np.float32)
+    x = jnp.asarray(np.broadcast_to(one, (B, L, D)).copy())
+    with pallas_interpret():
+        out = pa.flash_attention.__wrapped__(
+            x, x, x, None, num_heads=H, block_q=16, block_k=16,
+            dropout_rate=0.5, dropout_seed=jnp.int32(7),
+        )
+    o = np.asarray(out)
+    assert np.abs(o[64] - o[0]).max() > 1e-6
+    assert np.abs(o[1] - o[0]).max() > 1e-6
+
+
+def test_flash_dropout_requires_seed():
+    import univtg_tpu.ops.pallas_attention as pa
+
+    q = jnp.zeros((1, 16, 8), jnp.float32)
+    with pallas_interpret():
+        with pytest.raises(ValueError, match="dropout_seed"):
+            pa.flash_attention.__wrapped__(
+                q, q, q, None, num_heads=1, block_q=16, block_k=16,
+                dropout_rate=0.5,
+            )

@@ -6,6 +6,7 @@ or to a bucket from `padding.default_buckets` for long-video pretraining.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -47,15 +48,24 @@ def collate_mr(
     if pad_batch_to is not None and n_real < pad_batch_to:
         items = list(items) + [items[-1]] * (pad_batch_to - n_real)
 
+    clamp_labels = False
     if pad_v_to is not None:
         pad_v = min(int(pad_v_to), max_v_l)
         batch_max = max(len(it["video_feat"]) for it in items)
         if batch_max > pad_v:
-            raise ValueError(
-                f"pad_v_to={pad_v} is below the batch's actual max clip "
-                f"count ({batch_max}): the planner's length estimates "
-                f"under-shoot the on-disk features; refusing to truncate."
+            # The plan's length estimates under-shot an on-disk feature
+            # count. Raising here would fire on ONE rank of an SPMD gang
+            # and hang the others mid-collective, so instead: warn loudly,
+            # truncate this batch to the planned (rank-uniform) shape, and
+            # clamp the clip-index labels into range. Fix the metadata (or
+            # raise Loader plan_margin) to make the warning disappear.
+            warnings.warn(
+                f"bucket plan under-shoot: batch max clip count {batch_max}"
+                f" > planned pad target {pad_v}; truncating (metadata "
+                f"durations disagree with feature files?)",
+                stacklevel=2,
             )
+            clamp_labels = True
     elif v_buckets:
         batch_max = max(len(it["video_feat"]) for it in items)
         # max_v_l acts as the implicit top bucket: a ladder whose largest
@@ -99,17 +109,21 @@ def collate_mr(
             w = np.asarray(it["span_labels"], np.float32).reshape(-1, 2)[:wmax]
             span_labels[i, : len(w)] = w
             n_windows[i] = len(w)
+        if clamp_labels:
+            # ce-format integer clip indices; l1 floats are <=~1, unaffected
+            span_labels = np.minimum(span_labels, pad_v - 1)
         targets["span_labels"] = span_labels
         targets["n_windows"] = n_windows
     if "saliency_scores" in items[0]:
         sal, _ = pad_stack([it["saliency_scores"] for it in items], pad_v)
         targets["saliency_scores"] = sal.astype(np.float32)
-        targets["saliency_pos_labels"] = np.stack(
-            [it["saliency_pos_labels"] for it in items]
-        ).astype(np.int32)
-        targets["saliency_neg_labels"] = np.stack(
-            [it["saliency_neg_labels"] for it in items]
-        ).astype(np.int32)
+        pos = np.stack([it["saliency_pos_labels"] for it in items]).astype(np.int32)
+        neg = np.stack([it["saliency_neg_labels"] for it in items]).astype(np.int32)
+        if clamp_labels:
+            pos = np.minimum(pos, pad_v - 1)
+            neg = np.minimum(neg, pad_v - 1)
+        targets["saliency_pos_labels"] = pos
+        targets["saliency_neg_labels"] = neg
     if "gates" in items[0]:
         targets["gates"] = np.stack([it["gates"] for it in items]).astype(np.float32)
 

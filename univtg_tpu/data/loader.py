@@ -71,6 +71,16 @@ class Loader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def _window_sort(self, idx, effective_bs: int):
+        """Window-local length sort: same population, locally homogeneous
+        batch lengths (bounded bucket padding). Shared by the per-shard and
+        global-plan paths so their ordering semantics cannot drift."""
+        w = max(effective_bs, effective_bs * self.bucket_window)
+        chunks = [idx[i : i + w] for i in range(0, len(idx), w)]
+        return np.concatenate(
+            [c[np.argsort(self.lengths[c], kind="stable")] for c in chunks]
+        )
+
     def _indices(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
@@ -82,13 +92,7 @@ class Loader:
             per = len(idx) // self.num_shards
             idx = idx[self.shard_index * per : (self.shard_index + 1) * per]
         if self.lengths is not None and self.shuffle:
-            # window-local length sort: same shuffled population, locally
-            # homogeneous batch lengths (bounded bucket padding)
-            w = max(self.batch_size, self.batch_size * self.bucket_window)
-            chunks = [idx[i : i + w] for i in range(0, len(idx), w)]
-            idx = np.concatenate(
-                [c[np.argsort(self.lengths[c], kind="stable")] for c in chunks]
-            )
+            idx = self._window_sort(idx, self.batch_size)
         return idx
 
     def _planning(self) -> bool:
@@ -104,14 +108,9 @@ class Loader:
         from univtg_tpu.core.padding import bucket_length
 
         idx = np.arange(len(self.dataset))
-        rng = np.random.default_rng((self.seed, self.epoch))
-        rng.shuffle(idx)
+        np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
         gbs = self.batch_size * self.num_shards
-        w = max(gbs, gbs * self.bucket_window)
-        chunks = [idx[i : i + w] for i in range(0, len(idx), w)]
-        idx = np.concatenate(
-            [c[np.argsort(self.lengths[c], kind="stable")] for c in chunks]
-        )
+        idx = self._window_sort(idx, gbs)
         batches = [
             idx[i : i + gbs] for i in range(0, len(idx), gbs)
         ]
@@ -128,7 +127,9 @@ class Loader:
 
     def __len__(self):
         if self._planning():
-            return len(self._global_plan()[0])
+            # full global batches only (remainder dropped); O(1), not a
+            # full O(N log N) plan rebuild
+            return len(self.dataset) // (self.batch_size * self.num_shards)
         n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size

@@ -206,8 +206,12 @@ class MRDataset:
     def feature_lengths(self) -> np.ndarray:
         """Per-item clip-count ESTIMATES from metadata alone (duration /
         clip_len, capped at max_v_l) -- drives length-bucketed batching
-        (data/loader.py) without touching any feature file. Exactness is not
-        required: collate picks the bucket from the actual batch max."""
+        (data/loader.py) without touching any feature file. Single-process:
+        exactness is not required (collate buckets from the actual batch
+        max). Multi-process plan mode: the plan adds Loader.plan_margin
+        clips of headroom; if an on-disk feature count still exceeds the
+        planned pad target, collate warns and truncates with clamped label
+        indices rather than desynchronizing the gang."""
         cfg = self.cfg
         return np.asarray(
             [

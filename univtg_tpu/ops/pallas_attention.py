@@ -61,10 +61,14 @@ def _dropout_keep(seed_ref, rate: float, qb, kb, shape):
     still required (no stream collapse under dropout) so (qb, kb) mean the
     same tile everywhere."""
     bh = pl.program_id(0)
+    # mix the tile coordinates with independent odd multipliers + XOR
+    # (bijective mod 2^32 per coordinate): naive base-8192 packing wraps at
+    # bh=64 and reuses byte-identical masks across batch-head slices
     seed = (
         seed_ref[0, 0].astype(jnp.uint32)
-        + (bh.astype(jnp.uint32) * 8192 + qb.astype(jnp.uint32)) * 8192
-        + kb.astype(jnp.uint32)
+        ^ (bh.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+        ^ (qb.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        ^ (kb.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
     )
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
@@ -511,6 +515,12 @@ def flash_attention(q, k, v, key_padding_mask, *, num_heads: int,
         else block_k
     )
     if dropout_seed is None:
+        if dropout_rate > 0.0:
+            raise ValueError(
+                "flash_attention(dropout_rate>0) requires dropout_seed -- "
+                "a fixed implicit seed would apply the SAME mask every "
+                "step (structured sparsification, not dropout)."
+            )
         dropout_seed = jnp.zeros((), jnp.int32)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1, 1)
     out = _flash_core(
