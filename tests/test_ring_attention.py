@@ -171,3 +171,76 @@ def test_ring_train_step_with_seq_shard():
     assert np.isfinite(loss_ring)
     np.testing.assert_allclose(loss_ring, loss_xla, rtol=2e-5)
     np.testing.assert_allclose(gn_ring, gn_xla, rtol=2e-4)
+
+
+def test_ring_dropout_matches_single_device_reference():
+    """Ring dropout is keyed on GLOBAL (b, h, q, k) coordinates: the
+    tp=4-sharded result must EXACTLY equal a single-device computation
+    applying the same hash mask to the full probability tensor."""
+    from univtg_tpu.ops.ring_attention import dropout_keep_mask
+
+    mesh = make_mesh(dp=1, tp=4)
+    rng = np.random.default_rng(6)
+    B, L, D, H = 2, 32, 16, 2
+    dh = D // H
+    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, 24:] = 0
+    mask = jnp.asarray(mask)
+    seed, rate = jnp.int32(21), 0.4
+
+    got = ring_attention(
+        q, k, v, mask, num_heads=H, mesh=mesh, axis="tp",
+        dropout_rate=rate, dropout_seed=seed,
+    )
+
+    # single-device reference with the same global-coordinate mask
+    qh = q.reshape(B, L, H, dh).transpose(0, 2, 1, 3) * dh**-0.5
+    kh = k.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+    s = s + (1.0 - mask)[:, None, None, :] * -1e30
+    probs = jax.nn.softmax(s, axis=-1)
+    d = dropout_keep_mask(seed, rate, probs.shape, 0, 0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs * d, vh)
+    want = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+    np.testing.assert_allclose(
+        np.asarray(got)[0], np.asarray(want)[0], atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[1, :24], np.asarray(want)[1, :24], atol=3e-5
+    )
+
+
+def test_ring_dropout_grads_and_determinism():
+    mesh = make_mesh(dp=1, tp=4)
+    rng = np.random.default_rng(7)
+    B, L, D, H = 1, 32, 16, 2
+    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+
+    def loss(q, k, v, seed):
+        out = ring_attention(
+            q, k, v, None, num_heads=H, mesh=mesh, axis="tp",
+            dropout_rate=0.5, dropout_seed=seed,
+        )
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, jnp.int32(1))
+    g1b = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, jnp.int32(1))
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, jnp.int32(2))
+    for a, b in zip(g1, g1b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+        for a, b in zip(g1, g2)
+    )
+    for a in g1:
+        assert np.isfinite(np.asarray(a)).all()
+    with pytest.raises(ValueError, match="dropout_seed"):
+        ring_attention(q, k, v, None, num_heads=H, mesh=mesh, axis="tp",
+                       dropout_rate=0.5)

@@ -97,13 +97,6 @@ def multihead_attention(
       impl: "xla" | "pallas".
     """
     impl = resolve_impl(impl)
-    if impl == "ring" and dropout_rate > 0.0 and dropout_rng is not None:
-        # the ring does not implement attention-probability dropout;
-        # correctness wins over sharding when a config trains with attn
-        # dropout on (docs/BACKLOG.md). The pallas path implements dropout
-        # IN-KERNEL (deterministic per-tile PRNG regenerated in the
-        # backward -- ops/pallas_attention.py).
-        impl = "xla"
     D = q_in.shape[-1]
     # NOTE(roofline): fusing the q/k projections into one (D, 2D) matmul when
     # q_in is k_in was measured SLOWER on v5e (train B=256: 66.9 vs 61.4
@@ -130,8 +123,18 @@ def multihead_attention(
         else:
             from univtg_tpu.ops.ring_attention import ring_attention
 
+            kw = {}
+            if dropout_rate > 0.0 and dropout_rng is not None:
+                kw = dict(
+                    dropout_rate=float(dropout_rate),
+                    dropout_seed=jax.random.randint(
+                        dropout_rng, (), 0, jnp.iinfo(jnp.int32).max,
+                        dtype=jnp.int32,
+                    ),
+                )
             out = ring_attention(
-                q, k, v, key_padding_mask, num_heads=num_heads, mesh=mesh, axis="tp"
+                q, k, v, key_padding_mask, num_heads=num_heads, mesh=mesh,
+                axis="tp", **kw
             )
     if impl == "pallas":
         from univtg_tpu.ops.pallas_attention import flash_attention
