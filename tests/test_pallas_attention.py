@@ -341,3 +341,55 @@ def test_flash_dropout_requires_seed():
                 q, q, q, None, num_heads=1, block_q=16, block_k=16,
                 dropout_rate=0.5,
             )
+
+
+def test_flash_fuzz_shapes_and_grads():
+    """Randomized shape/mask/block fuzz (interpret): forward parity and
+    grad parity vs XLA across ragged lengths, head widths, and blockings --
+    the configurations a fixed-parameter test never visits."""
+    import univtg_tpu.ops.pallas_attention as pa
+
+    rng = np.random.default_rng(42)
+    with pallas_interpret():
+        for trial in range(6):
+            B = int(rng.integers(1, 3))
+            H = int(rng.choice([1, 2, 4]))
+            dh = int(rng.choice([8, 16, 32]))
+            D = H * dh
+            Lq = int(rng.integers(3, 50))
+            Lk = int(rng.integers(3, 50))
+            bq = int(rng.choice([8, 16, 32]))
+            bk = int(rng.choice([8, 16, 32]))
+            q = jnp.asarray(rng.standard_normal((B, Lq, D)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((B, Lk, D)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((B, Lk, D)), jnp.float32)
+            mask = (rng.uniform(size=(B, Lk)) < 0.8).astype(np.float32)
+            mask[:, 0] = 1  # no fully-masked rows (degenerate contract)
+            mask = jnp.asarray(mask)
+            w = jnp.asarray(rng.standard_normal((B, Lq, D)), jnp.float32)
+
+            fn = pa.flash_attention.__wrapped__
+            got = fn(q, k, v, mask, num_heads=H, block_q=bq, block_k=bk)
+            want = sdpa_xla(q, k, v, attention_scores_bias(mask), H)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=5e-5,
+                err_msg=f"fwd trial {trial}: B{B} H{H} dh{dh} Lq{Lq} Lk{Lk} b({bq},{bk})",
+            )
+
+            def loss_flash(q, k, v):
+                return jnp.sum(
+                    fn(q, k, v, mask, num_heads=H, block_q=bq, block_k=bk) * w
+                )
+
+            def loss_xla(q, k, v):
+                return jnp.sum(
+                    sdpa_xla(q, k, v, attention_scores_bias(mask), H) * w
+                )
+
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+            for name, a, b in zip("qkv", gf, gx):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-4,
+                    err_msg=f"d{name} trial {trial}",
+                )
