@@ -216,7 +216,9 @@ def test_serve_decode_equals_batch_eval_decode(fixture_feats):
         pipe = GroundingPipeline(
             CFG, params, clip_len=2.0, buckets=[16, 32], eval_mode=eval_mode
         )
-        vid, vid_mask, txt, txt_mask, ts, ctx_l = pipe._prepare(vid_raw, txt_raw)
+        pv = pipe.prepare_video(vid_raw)
+        vid, vid_mask, ts = pv.vid, pv.vid_mask, pv.ts
+        txt, txt_mask = pipe._prepare_txt(txt_raw)
         serve_out = pipe._fwd(
             params,
             jnp.asarray(txt[None]), jnp.asarray(txt_mask[None]),

@@ -1,0 +1,234 @@
+"""HTTP grounding service: request/response contract, cross-video
+micro-batching equivalence vs direct pipeline calls, error paths, and the
+LRU video store. (The production counterpart of the reference's single-user
+gradio demo, main_gradio.py:187-238.)"""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.serve import GroundingPipeline, GroundingServer
+
+CFG = ModelConfig(
+    vid_dim=34,  # 32 features + 2 TEF
+    txt_dim=16,
+    hidden_dim=32,
+    num_layers=1,
+    num_heads=2,
+    ffn_dim=48,
+    max_v_l=32,
+    max_q_l=8,
+)
+
+
+def _pipeline():
+    model = UniVTG(CFG)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        np.zeros((1, 8, CFG.txt_dim), np.float32),
+        np.ones((1, 8), np.float32),
+        np.zeros((1, 16, CFG.vid_dim), np.float32),
+        np.ones((1, 16), np.float32),
+        train=False,
+    )["params"]
+    return GroundingPipeline(CFG, params, clip_len=2.0, buckets=[16, 32])
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = GroundingServer(
+        _pipeline(), port=0, max_batch=16, max_wait_ms=60.0, max_videos=4
+    )
+    srv.start()
+    yield srv
+    srv.close()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def _request(server, path, data=None, method=None, headers=None):
+    req = urllib.request.Request(
+        _url(server, path), data=data, method=method, headers=headers or {}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _rand_video(seed, n_clips):
+    return np.random.default_rng(seed).standard_normal((n_clips, 32)).astype(np.float32)
+
+
+def _rand_query(seed, n_tok=5):
+    return np.random.default_rng(100 + seed).standard_normal((n_tok, 16)).astype(
+        np.float32
+    )
+
+
+def _npz_bytes(feats):
+    buf = io.BytesIO()
+    np.savez(buf, features=feats)
+    return buf.getvalue()
+
+
+def test_health_register_ground(server):
+    status, health = _request(server, "/healthz")
+    assert status == 200 and health["ok"]
+
+    vid = _rand_video(0, 10)
+    status, reg = _request(server, "/videos/vidA", data=_npz_bytes(vid), method="PUT")
+    assert status == 200 and reg == {"video": "vidA", "clips": 10, "bucket": 16}
+
+    # JSON registration path
+    body = json.dumps({"features": _rand_video(1, 20).tolist()}).encode()
+    status, reg = _request(
+        server, "/videos/vidB", data=body, method="PUT",
+        headers={"Content-Type": "application/json"},
+    )
+    assert status == 200 and reg["clips"] == 20 and reg["bucket"] == 32
+
+    q = _rand_query(0)
+    status, got = _request(
+        server, "/ground",
+        data=json.dumps({"video": "vidA", "query_feats": q.tolist(), "top_k": 3}).encode(),
+        method="POST",
+    )
+    assert status == 200
+    want = server.pipeline.ground_features(vid, q, top_k=3)
+    np.testing.assert_allclose(got["top1_window"], want["top1_window"], rtol=1e-6)
+    np.testing.assert_allclose(got["saliency"], want["saliency"], rtol=1e-6)
+    assert len(got["topk_windows"]) == 3
+    assert got["duration"] == 20.0
+
+    status, listing = _request(server, "/videos")
+    assert status == 200 and set(listing["videos"]) == {"vidA", "vidB"}
+
+
+def test_concurrent_requests_coalesce_across_videos(server):
+    """N concurrent requests against different videos ride shared device
+    dispatches, and every response equals the direct pipeline result."""
+    videos = {f"v{i}": _rand_video(10 + i, 8 + 3 * i) for i in range(3)}
+    for vid_id, feats in videos.items():
+        _request(server, f"/videos/{vid_id}", data=_npz_bytes(feats), method="PUT")
+
+    queries = [(f"v{i % 3}", _rand_query(i)) for i in range(9)]
+    # warm the compile so the batching window isn't dominated by it
+    _request(
+        server, "/ground",
+        data=json.dumps(
+            {"video": "v0", "query_feats": queries[0][1].tolist()}
+        ).encode(),
+        method="POST",
+    )
+
+    with server.batcher._lock:
+        batches_before = server.batcher.stats["batches"]
+    barrier = threading.Barrier(len(queries))
+    results = [None] * len(queries)
+
+    def fire(i):
+        vid_id, q = queries[i]
+        barrier.wait()
+        results[i] = _request(
+            server, "/ground",
+            data=json.dumps({"video": vid_id, "query_feats": q.tolist()}).encode(),
+            method="POST",
+        )
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for (vid_id, q), (status, got) in zip(queries, results):
+        assert status == 200
+        want = server.pipeline.ground_features(videos[vid_id], q)
+        np.testing.assert_allclose(
+            got["top1_window"], want["top1_window"], rtol=1e-6
+        )
+        np.testing.assert_allclose(got["saliency"], want["saliency"], rtol=1e-6)
+
+    with server.batcher._lock:
+        stats = dict(server.batcher.stats)
+    # 9 simultaneous requests must NOT have run as 9 separate dispatches
+    assert stats["batches"] - batches_before < 9
+    assert stats["max_batch_size"] >= 2
+
+    status, s = _request(server, "/stats")
+    assert status == 200 and s["requests"] >= 10 and "latency_p50_ms" in s
+
+
+def test_error_paths(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _request(
+            server, "/ground",
+            data=json.dumps({"video": "nope", "query_feats": [[0.0] * 16]}).encode(),
+            method="POST",
+        )
+    assert e.value.code == 404
+
+    _request(server, "/videos/tmp", data=_npz_bytes(_rand_video(42, 6)), method="PUT")
+    # missing query
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _request(server, "/ground", data=json.dumps({"video": "tmp"}).encode(),
+                 method="POST")
+    assert e.value.code == 400
+    # text query without a clip encoder
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _request(
+            server, "/ground",
+            data=json.dumps({"video": "tmp", "query": "a dog"}).encode(),
+            method="POST",
+        )
+    assert e.value.code == 400
+    # malformed features
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _request(server, "/videos/bad", data=b"not-an-npz", method="PUT")
+    assert e.value.code == 400
+    # delete then 404
+    status, out = _request(server, "/videos/tmp", method="DELETE")
+    assert status == 200 and out == {"deleted": "tmp"}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _request(server, "/videos/tmp", method="DELETE")
+    assert e.value.code == 404
+
+
+def test_video_store_lru_eviction():
+    pipe = _pipeline()
+    from univtg_tpu.serve.server import VideoStore
+
+    store = VideoStore(pipe, max_videos=2)
+    store.put("a", _rand_video(0, 4))
+    store.put("b", _rand_video(1, 4))
+    assert store.get("a") is not None  # refresh a
+    store.put("c", _rand_video(2, 4))  # evicts b (least recently used)
+    assert store.ids() == ["a", "c"]
+    assert store.get("b") is None
+
+
+def test_ground_prepared_many_cross_video_equivalence():
+    """The cross-video batched path (what the server batcher calls) gives
+    exactly the per-request results for a mixed bag of videos/lengths."""
+    pipe = _pipeline()
+    vids = [_rand_video(i, n) for i, n in enumerate([6, 14, 20, 30])]
+    prepared = [pipe.prepare_video(v) for v in vids]
+    items = [(prepared[i % 4], _rand_query(i, n_tok=3 + i % 5)) for i in range(7)]
+    batched = pipe.ground_prepared_many(items, top_k=4)
+    for (pv, q), got in zip(items, batched):
+        want = pipe.ground_features(vids[prepared.index(pv)], q, top_k=4)
+        np.testing.assert_allclose(got["top1_window"], want["top1_window"], rtol=1e-6)
+        np.testing.assert_allclose(got["saliency"], want["saliency"], rtol=1e-6)
+        np.testing.assert_allclose(
+            [w[2] for w in got["topk_windows"]],
+            [w[2] for w in want["topk_windows"]],
+            rtol=1e-6,
+        )

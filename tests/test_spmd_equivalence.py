@@ -74,3 +74,55 @@ def test_sharded_training_matches_single_device(mesh_shape):
         jax.tree_util.tree_leaves(sh_state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_multislice_mesh_layout():
+    """slices>1 keeps tp (and the dp minor) inside a slice chunk; only the
+    dp major crosses the chunk boundary (the DCN axis on real pods)."""
+    mesh = make_mesh(dp=4, tp=2, slices=2)
+    grid = np.asarray(mesh.devices)
+    assert grid.shape == (4, 2)
+    ids = np.vectorize(lambda d: d.id)(grid)
+    # chunk 0 = devices 0-3 in dp rows 0-1, chunk 1 = devices 4-7 in rows 2-3
+    assert set(ids[:2].ravel()) == {0, 1, 2, 3}
+    assert set(ids[2:].ravel()) == {4, 5, 6, 7}
+    # every tp pair is within one chunk
+    for row in ids:
+        assert row[0] // 4 == row[1] // 4
+
+    with pytest.raises(ValueError, match="multiple of slices"):
+        make_mesh(dp=2, tp=1, slices=4, devices=jax.devices()[:2])
+
+
+def test_multislice_training_matches_single_device():
+    """Training over the hybrid dp-over-slices layout is numerically the
+    same computation: the mesh layout only changes which links collectives
+    ride, not the math."""
+    cfg = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=2, num_heads=4,
+        ffn_dim=96, dropout=0.0, droppath=0.0, input_dropout=0.0,
+        max_v_l=16, max_q_l=6,
+    )
+    import optax
+
+    model = UniVTG(cfg)
+    optimizer = optax.sgd(1e-2)
+    weights = LossWeights()
+
+    def run(mesh):
+        state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+        state = state.replace(params=replicate_params(mesh, state.params))
+        step = make_train_step(model, optimizer, weights, donate=False)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(2):
+            mi, tg = make_batch(seed=i)
+            state, metrics = step(
+                state, shard_batch(mesh, mi), shard_batch(mesh, tg), rng
+            )
+            losses.append(float(metrics["loss_overall"]))
+        return losses
+
+    base = run(make_mesh(dp=1, tp=1))
+    hybrid = run(make_mesh(dp=4, tp=2, slices=2))
+    np.testing.assert_allclose(hybrid, base, rtol=2e-5)

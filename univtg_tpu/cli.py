@@ -209,6 +209,43 @@ def cmd_quantize(args):
     print(f"wrote int8 checkpoint: {args.out} ({os.path.getsize(args.out)/1e6:.1f} MB)")
 
 
+def cmd_serve(args):
+    """HTTP grounding service with dynamic micro-batching
+    (univtg_tpu.serve.server; the production counterpart of the reference's
+    single-user gradio demo, main_gradio.py:187-238)."""
+    import jax
+
+    from univtg_tpu.serve import GroundingPipeline, GroundingServer
+    from univtg_tpu.train import checkpoint as ckpt
+    from univtg_tpu.train.steps import init_state, make_optimizer
+
+    cfg = _preset_cfg(args)
+    from univtg_tpu.train.driver_mr import build_model
+
+    model = build_model(cfg)
+    state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
+    params = ckpt.restore_params(args.resume, state.params)
+    clip_encoder = None
+    if args.clip_ckpt:
+        from univtg_tpu.extract.pipeline import ClipEncoder
+        from univtg_tpu.interop.clip_ckpt import load_clip_checkpoint
+
+        clip_params, clip_cfg = load_clip_checkpoint(args.clip_ckpt)
+        clip_encoder = ClipEncoder(clip_params, clip_cfg)
+    pipe = GroundingPipeline(
+        cfg.model, params, clip_encoder=clip_encoder, eval_mode=cfg.eval_mode
+    )
+    server = GroundingServer(
+        pipe, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    print(f"serving on http://{args.host}:{server.port}  (ctrl-c to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
 def cmd_extract_text(args):
     """Offline query-feature dump (run_on_video/text_extractor.py)."""
     from univtg_tpu.data.features import load_jsonl
@@ -288,6 +325,16 @@ def build_parser():
     sp.add_argument("--preset", required=True)
     sp.add_argument("--resume", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument("overrides", nargs="*")
+
+    sp = add("serve", cmd_serve)
+    sp.add_argument("--preset", required=True)
+    sp.add_argument("--resume", required=True)
+    sp.add_argument("--clip-ckpt", default=None)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8008)
+    sp.add_argument("--max-batch", type=int, default=32)
+    sp.add_argument("--max-wait-ms", type=float, default=4.0)
     sp.add_argument("overrides", nargs="*")
 
     sp = add("extract-text", cmd_extract_text)

@@ -24,7 +24,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(
+    dp: Optional[int] = None, tp: int = 1, devices=None, slices: int = 1
+) -> Mesh:
+    """(dp, tp) device mesh; ``slices > 1`` builds a multi-slice (DCN)
+    layout: devices are grouped by slice first, tp (and the dp minor) stay
+    WITHIN a slice so tensor-parallel all-reduces and sequence-parallel
+    all-gathers ride ICI, and only the dp-major gradient all-reduce crosses
+    the slower DCN links (the standard hybrid dp-over-DCN recipe). Axis
+    names stay ("dp", "tp"), so every sharding rule in this module works
+    unchanged on single- and multi-slice topologies."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
@@ -36,6 +45,34 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
             f"Reduce dp/tp, or expose a virtual mesh with JAX_PLATFORMS=cpu "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp}."
         )
+    if slices > 1:
+        if dp % slices != 0:
+            raise ValueError(
+                f"dp={dp} must be a multiple of slices={slices}: the dp axis "
+                f"is laid out slice-major so each slice holds dp/slices rows"
+            )
+        devices = devices[: dp * tp]
+        # order by the hardware slice when the runtime reports it (real
+        # multi-slice TPU); virtual/CPU devices fall back to contiguous
+        # chunks standing in for slices
+        slice_ids = [getattr(d, "slice_index", None) for d in devices]
+        if all(s is not None for s in slice_ids):
+            if len(set(slice_ids)) != slices:
+                raise ValueError(
+                    f"requested slices={slices} but devices span "
+                    f"{len(set(slice_ids))} hardware slices"
+                )
+            devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+        per_slice = (dp // slices) * tp
+        for s in range(slices):
+            chunk = devices[s * per_slice : (s + 1) * per_slice]
+            ids = {i for i in (getattr(d, "slice_index", None) for d in chunk)}
+            if len(ids) > 1:
+                raise ValueError(
+                    f"slice chunk {s} spans hardware slices {sorted(ids)}: "
+                    f"tp={tp} x dp_local={dp // slices} does not fit in one "
+                    f"slice; tensor parallelism must not cross DCN"
+                )
     grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))
 

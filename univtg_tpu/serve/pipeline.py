@@ -26,6 +26,22 @@ def hms(seconds: float) -> str:
     return time.strftime("%H:%M:%S", time.gmtime(seconds))
 
 
+class PreparedVideo:
+    """Bucket-padded video tensors, ready to batch into a forward pass.
+    Prepared once per video and reused across every query that targets it
+    (the host-side L2-norm + TEF + padding dominates per-request cost for
+    long videos)."""
+
+    __slots__ = ("vid", "vid_mask", "ts", "ctx_l", "bucket")
+
+    def __init__(self, vid, vid_mask, ts, ctx_l, bucket):
+        self.vid = vid
+        self.vid_mask = vid_mask
+        self.ts = ts
+        self.ctx_l = ctx_l
+        self.bucket = bucket
+
+
 class GroundingPipeline:
     def __init__(
         self,
@@ -58,9 +74,10 @@ class GroundingPipeline:
 
         self._fwd = jax.jit(fwd)
 
-    def _prepare(self, vid_feats: np.ndarray, txt_feats: np.ndarray):
-        vid = l2_normalize(vid_feats.astype(np.float32))
-        txt = l2_normalize(txt_feats.astype(np.float32))
+    def prepare_video(self, vid_feats: np.ndarray) -> PreparedVideo:
+        """(T, Dv) clip features -> bucket-padded tensors. Servers cache the
+        result per video id and pass it to ground_prepared_many."""
+        vid = l2_normalize(np.asarray(vid_feats, np.float32))
         ctx_l = len(vid)
         ts = timestamp_grid(ctx_l, self.clip_len)
         vid = np.concatenate([vid, tef_features(ctx_l)], axis=1)
@@ -71,11 +88,15 @@ class GroundingPipeline:
         ts = np.pad(ts, ((0, pad), (0, 0)))
         vid_mask = np.zeros(Lb, np.float32)
         vid_mask[:ctx_l] = 1
+        return PreparedVideo(vid, vid_mask, ts, ctx_l, Lb)
+
+    def _prepare_txt(self, txt_feats: np.ndarray):
+        txt = l2_normalize(np.asarray(txt_feats, np.float32))
         Lt = bucket_length(len(txt), [32, 77])
+        mask = np.zeros(Lt, np.float32)
+        mask[: len(txt)] = 1
         txt = np.pad(txt, ((0, Lt - len(txt)), (0, 0)))
-        txt_mask = np.zeros(Lt, np.float32)
-        txt_mask[: len(txt_feats)] = 1
-        return vid, vid_mask, txt, txt_mask, ts, ctx_l
+        return txt, mask
 
     def ground_features(self, vid_feats: np.ndarray, txt_feats: np.ndarray, top_k: int = 5):
         """(T, Dv) clip features + (L, Dt) token features -> grounding dict."""
@@ -107,41 +128,63 @@ class GroundingPipeline:
         server sees a handful of compiled programs, not one per request
         size. Returns one grounding dict per query (identical to
         ground_features per query, tests/test_serve.py)."""
-        N = len(txt_feats_list)
-        if N == 0:
+        if len(txt_feats_list) == 0:
             return []
         # video prep is query-independent: do it once (it dominates host
         # cost for long videos)
-        vid, vid_mask, _, _, ts, ctx_l = self._prepare(vid_feats, txt_feats_list[0])
+        pv = self.prepare_video(vid_feats)
+        return self.ground_prepared_many([(pv, t) for t in txt_feats_list], top_k)
 
+    def ground_prepared_many(
+        self,
+        items: Sequence[tuple],
+        top_k: int = 5,
+    ):
+        """Cross-video batched serving: items are (PreparedVideo, txt_feats)
+        pairs from possibly MANY different videos. Requests group by
+        (video bucket, text bucket) and each group runs as ONE device
+        dispatch with the batch dim padded to a power-of-two ladder, so a
+        busy server amortizes dispatch overhead across concurrent requests
+        regardless of which videos they target. Per-request results are
+        identical to ground_features (tests/test_server.py)."""
+        N = len(items)
         results: list = [None] * N
-        by_bucket: dict = {}
-        for i, t in enumerate(txt_feats_list):
-            txt = l2_normalize(np.asarray(t, np.float32))
-            Lt = bucket_length(len(txt), [32, 77])
-            mask = np.zeros(Lt, np.float32)
-            mask[: len(txt)] = 1
-            txt = np.pad(txt, ((0, Lt - len(txt)), (0, 0)))
-            by_bucket.setdefault(Lt, []).append((i, txt, mask))
-        for group in by_bucket.values():
+        groups: dict = {}
+        for i, (pv, t) in enumerate(items):
+            txt, mask = self._prepare_txt(t)
+            groups.setdefault((pv.bucket, txt.shape[0]), []).append((i, pv, txt, mask))
+        for group in groups.values():
             n = len(group)
             nb = 1 << (n - 1).bit_length()  # pad batch to the pow-2 ladder
-            txt = np.stack([g[1] for g in group] + [group[-1][1]] * (nb - n))
-            txt_mask = np.stack([g[2] for g in group] + [group[-1][2]] * (nb - n))
+            pad = [group[-1]] * (nb - n)
+            txt = np.stack([g[2] for g in group + pad])
+            txt_mask = np.stack([g[3] for g in group + pad])
+            pvs = [g[1] for g in group + pad]
+            if all(p is pvs[0] for p in pvs):
+                # single-video fast path: tile without host copies (a long
+                # video row is ~20 MB; N queries must not multiply that)
+                pv0 = pvs[0]
+                vid = np.broadcast_to(pv0.vid, (nb,) + pv0.vid.shape)
+                vid_mask = np.broadcast_to(pv0.vid_mask, (nb,) + pv0.vid_mask.shape)
+                ts = np.broadcast_to(pv0.ts, (nb,) + pv0.ts.shape)
+            else:
+                vid = np.stack([p.vid for p in pvs])
+                vid_mask = np.stack([p.vid_mask for p in pvs])
+                ts = np.stack([p.ts for p in pvs])
             out = self._fwd(
                 self.params,
                 jnp.asarray(txt),
                 jnp.asarray(txt_mask),
-                jnp.asarray(np.broadcast_to(vid, (nb,) + vid.shape)),
-                jnp.asarray(np.broadcast_to(vid_mask, (nb,) + vid_mask.shape)),
-                jnp.asarray(np.broadcast_to(ts, (nb,) + ts.shape)),
+                jnp.asarray(vid),
+                jnp.asarray(vid_mask),
+                jnp.asarray(ts),
             )
             scores_all = np.asarray(out["scores"])
             spans_all = np.asarray(out["spans"])
             sal_all = np.asarray(out["saliency"])
-            for row, (i, _, _) in enumerate(group):
+            for row, (i, pv, _, _) in enumerate(group):
                 results[i] = self._decode_row(
-                    scores_all[row], spans_all[row], sal_all[row], ctx_l, top_k
+                    scores_all[row], spans_all[row], sal_all[row], pv.ctx_l, top_k
                 )
         return results
 

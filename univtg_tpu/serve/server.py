@@ -1,0 +1,364 @@
+"""Production grounding service: HTTP front-end with dynamic micro-batching.
+
+The reference's only serving surface is a single-user gradio demo
+(/root/reference/main_gradio.py:187-238): one global feature cache, one
+request at a time, one forward per query. This module is the production
+equivalent for TPU serving:
+
+  * videos are registered once (``PUT /videos/<id>``) and grounded many
+    times; the host-side prep (L2-norm + TEF + bucket padding) happens at
+    registration, not per request;
+  * concurrent ``POST /ground`` requests are coalesced by a batcher thread
+    into ONE device dispatch (GroundingPipeline.ground_prepared_many -- the
+    same jitted core as batch eval), across videos and across clients, so a
+    busy server runs the TPU at batch>=N instead of N sequential batch-1
+    calls;
+  * stdlib-only (ThreadingHTTPServer + threading + queue): no web framework
+    to install, runs anywhere the framework runs.
+
+Request latency under load is bounded by ``max_wait_ms`` (the batching
+window) plus one model dispatch; an idle server dispatches immediately.
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class VideoStore:
+    """Bounded LRU of PreparedVideo tensors keyed by video id."""
+
+    def __init__(self, pipeline, max_videos: int = 64):
+        self._pipeline = pipeline
+        self._max = max_videos
+        self._lock = threading.Lock()
+        self._videos: OrderedDict = OrderedDict()
+
+    def put(self, video_id: str, vid_feats: np.ndarray) -> dict:
+        pv = self._pipeline.prepare_video(vid_feats)
+        with self._lock:
+            self._videos[video_id] = pv
+            self._videos.move_to_end(video_id)
+            while len(self._videos) > self._max:
+                self._videos.popitem(last=False)
+        return {"video": video_id, "clips": pv.ctx_l, "bucket": pv.bucket}
+
+    def get(self, video_id: str):
+        with self._lock:
+            pv = self._videos.get(video_id)
+            if pv is not None:
+                self._videos.move_to_end(video_id)
+            return pv
+
+    def delete(self, video_id: str) -> bool:
+        with self._lock:
+            return self._videos.pop(video_id, None) is not None
+
+    def ids(self):
+        with self._lock:
+            return list(self._videos)
+
+
+class _Request:
+    __slots__ = ("pv", "txt", "top_k", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, pv, txt, top_k):
+        self.pv = pv
+        self.txt = txt
+        self.top_k = top_k
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+        self.t_enqueue = time.perf_counter()
+
+
+class MicroBatcher:
+    """Coalesces concurrent grounding requests into batched dispatches.
+
+    One worker thread drains the queue: the first pending request opens a
+    batching window of ``max_wait_ms``; everything that arrives inside the
+    window (up to ``max_batch``) rides the same device dispatch. Requests
+    are grouped by top_k (the pipeline groups by shape bucket internally).
+    """
+
+    def __init__(self, pipeline, max_batch: int = 32, max_wait_ms: float = 4.0):
+        self._pipeline = pipeline
+        self._max_batch = max_batch
+        self._max_wait_s = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "errors": 0,
+            "max_batch_size": 0,
+            "latency_ms": [],  # ring buffer, last 1024
+        }
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, pv, txt, top_k: int, timeout_s: float = 60.0) -> dict:
+        req = _Request(pv, txt, top_k)
+        self._q.put(req)
+        if not req.event.wait(timeout_s):
+            raise TimeoutError("grounding request timed out")
+        if req.error is not None:
+            raise req.error
+        with self._lock:
+            self.stats["requests"] += 1
+            lat = (time.perf_counter() - req.t_enqueue) * 1e3
+            buf = self.stats["latency_ms"]
+            buf.append(lat)
+            del buf[:-1024]
+        return req.result
+
+    def _drain(self):
+        """Block for one request, then sweep the batching window."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self._max_wait_s
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["max_batch_size"] = max(
+                    self.stats["max_batch_size"], len(batch)
+                )
+            by_topk: dict = {}
+            for r in batch:
+                by_topk.setdefault(r.top_k, []).append(r)
+            for top_k, reqs in by_topk.items():
+                try:
+                    results = self._pipeline.ground_prepared_many(
+                        [(r.pv, r.txt) for r in reqs], top_k
+                    )
+                    for r, res in zip(reqs, results):
+                        r.result = res
+                except BaseException as e:  # propagate to every waiter
+                    with self._lock:
+                        self.stats["errors"] += 1
+                    for r in reqs:
+                        r.error = e
+                finally:
+                    for r in reqs:
+                        r.event.set()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
+def _json_default(o):
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (np.floating, np.integer)):
+        return o.item()
+    raise TypeError(type(o).__name__)
+
+
+class GroundingServer:
+    """HTTP grounding service over a GroundingPipeline.
+
+    Endpoints:
+      GET    /healthz           -> {"ok": true, "platform": ...}
+      GET    /stats             -> batching/latency counters
+      GET    /videos            -> {"videos": [ids...]}
+      PUT    /videos/<id>       -> register clip features. Body: .npz bytes
+                                   (key "features" or the first array) or
+                                   JSON {"features": [[...]]}
+      DELETE /videos/<id>       -> evict
+      POST   /ground            -> {"video": id, "query_feats": [[...]],
+                                   "top_k": 5} or {"query": "text"} when the
+                                   pipeline has a clip_encoder. Returns the
+                                   grounding dict (saliency included).
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_batch: int = 32,
+        max_wait_ms: float = 4.0,
+        max_videos: int = 64,
+    ):
+        self.pipeline = pipeline
+        self.store = VideoStore(pipeline, max_videos)
+        self.batcher = MicroBatcher(pipeline, max_batch, max_wait_ms)
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload, default=_json_default).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(n) if n else b""
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    import jax
+
+                    self._reply(
+                        200,
+                        {
+                            "ok": True,
+                            "platform": jax.devices()[0].platform,
+                            "videos": len(service.store.ids()),
+                        },
+                    )
+                elif self.path == "/stats":
+                    with service.batcher._lock:
+                        s = dict(service.batcher.stats)
+                        lat = sorted(s.pop("latency_ms"))
+                    if lat:
+                        s["latency_p50_ms"] = round(lat[len(lat) // 2], 3)
+                        s["latency_p95_ms"] = round(lat[int(len(lat) * 0.95)], 3)
+                    self._reply(200, s)
+                elif self.path == "/videos":
+                    self._reply(200, {"videos": service.store.ids()})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+
+            def do_PUT(self):
+                if not self.path.startswith("/videos/"):
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                video_id = self.path[len("/videos/"):]
+                body = self._body()
+                try:
+                    feats = service._parse_features(
+                        body, self.headers.get("Content-Type", "")
+                    )
+                    self._reply(200, service.store.put(video_id, feats))
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+
+            def do_DELETE(self):
+                if not self.path.startswith("/videos/"):
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                video_id = self.path[len("/videos/"):]
+                if service.store.delete(video_id):
+                    self._reply(200, {"deleted": video_id})
+                else:
+                    self._reply(404, {"error": f"unknown video {video_id}"})
+
+            def do_POST(self):
+                if self.path.startswith("/videos/"):
+                    self.do_PUT()
+                    return
+                if self.path != "/ground":
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    req = json.loads(self._body() or b"{}")
+                except json.JSONDecodeError as e:
+                    self._reply(400, {"error": f"bad json: {e}"})
+                    return
+                video_id = req.get("video")
+                pv = service.store.get(video_id) if video_id else None
+                if pv is None:
+                    self._reply(404, {"error": f"unknown video {video_id!r}"})
+                    return
+                try:
+                    txt = service._query_features(req)
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                try:
+                    result = service.batcher.submit(
+                        pv, txt, int(req.get("top_k", 5))
+                    )
+                    self._reply(200, result)
+                except Exception as e:
+                    self._reply(500, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._serve_thread: Optional[threading.Thread] = None
+
+    def _parse_features(self, body: bytes, content_type: str) -> np.ndarray:
+        if "json" in content_type:
+            feats = np.asarray(json.loads(body)["features"], np.float32)
+        else:  # .npz / .npy bytes
+            with np.load(io.BytesIO(body)) as z:
+                key = "features" if "features" in z.files else z.files[0]
+                feats = np.asarray(z[key], np.float32)
+        if feats.ndim != 2 or len(feats) == 0:
+            raise ValueError(f"features must be (T, D), got {feats.shape}")
+        return feats
+
+    def _query_features(self, req: dict) -> np.ndarray:
+        if "query_feats" in req:
+            txt = np.asarray(req["query_feats"], np.float32)
+            if txt.ndim != 2 or len(txt) == 0:
+                raise ValueError(f"query_feats must be (L, D), got {txt.shape}")
+            return txt
+        if "query" in req:
+            if self.pipeline.clip_encoder is None:
+                raise ValueError(
+                    "text queries need a clip_encoder; send query_feats"
+                )
+            from univtg_tpu.extract.pipeline import txt2clip
+
+            return txt2clip(self.pipeline.clip_encoder, req["query"])
+        raise ValueError("request needs query_feats or query")
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        """Serve in a background thread (returns immediately)."""
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, kwargs={"poll_interval": 0.05},
+            daemon=True,
+        )
+        self._serve_thread.start()
+        return self
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=2.0)
+        self.batcher.close()

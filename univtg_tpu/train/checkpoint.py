@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Optional
 
 import jax
@@ -20,19 +21,74 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, state, epoch: int, config_json: Optional[str] = None):
-    blob = {
+def _host_blob(state, epoch: int) -> dict:
+    """Synchronous device->host fetch. Must complete before a donating train
+    step reuses the parameter buffers."""
+    return {
         "params": _to_host(state.params),
         "opt_state": _to_host(state.opt_state),
         "step": int(state.step),
         "epoch": epoch,
     }
+
+
+def _write_blob(path: str, blob: dict, config_json: Optional[str]):
+    """Serialize + write-to-temp + atomic rename: a crash mid-write (or a
+    killed gang member, tests/test_multiprocess.py fault injection) can
+    never leave a truncated model_latest.ckpt for resume='auto' to trip
+    over."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(blob))
+    os.replace(tmp, path)
     if config_json is not None:
         with open(os.path.join(os.path.dirname(path) or ".", "opt.json"), "w") as f:
             f.write(config_json)
+
+
+def save_checkpoint(path: str, state, epoch: int, config_json: Optional[str] = None):
+    _write_blob(path, _host_blob(state, epoch), config_json)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization + disk IO with training.
+
+    ``save()`` fetches the state to host numpy synchronously (the part that
+    must finish before the next donated train step reuses the buffers), then
+    hands the msgpack serialization and file write to a background thread —
+    the device keeps training while ~4x-model-size bytes hit the disk. At
+    most one write is in flight: a new save joins the previous one first, so
+    the latest -> best write order within an epoch is preserved. Call
+    ``wait()`` before reading the files back or returning to the caller;
+    writer errors re-raise on the next save()/wait().
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, state, epoch: int, config_json: Optional[str] = None):
+        self.wait()
+        blob = _host_blob(state, epoch)
+        def _write():
+            try:
+                _write_blob(path, blob, config_json)
+            except BaseException as e:  # surfaced by the next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
 
 def restore_checkpoint(path: str, state):

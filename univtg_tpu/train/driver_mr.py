@@ -121,6 +121,11 @@ class TrainConfig:
     # (tests/test_multiprocess.py::test_elastic_restart_two_process_gang).
     inject_fault_epoch: int = -1
     inject_fault_rank: int = 0
+    # overlap checkpoint serialization + disk IO with the next training
+    # epoch (checkpoint.AsyncCheckpointer); the device->host fetch is still
+    # synchronous, only the msgpack+write runs in the background. All writes
+    # are atomic (temp + rename) either way.
+    async_checkpoint: bool = True
 
 
 def _strip_meta(batch, transfer_dtype: str = "float32"):
@@ -292,6 +297,8 @@ def train_mr(
     best_score, best_metrics, es_cnt = -np.inf, None, 0
     best_path = os.path.join(cfg.results_dir, "model_best.ckpt")
     latest_path = os.path.join(cfg.results_dir, "model_latest.ckpt")
+    saver = ckpt.AsyncCheckpointer() if cfg.async_checkpoint else None
+    save_ckpt = saver.save if saver is not None else ckpt.save_checkpoint
 
     start_epoch = -1 if cfg.eval_init else 0
     if resume_epoch is not None:
@@ -423,10 +430,10 @@ def train_mr(
                 score = metrics["brief"].get(f"{cfg.main_metric}-key")
                 if score is None:
                     score = metrics["brief"].get(cfg.main_metric)
-                ckpt.save_checkpoint(latest_path, host_state, epoch, cfg_json)
+                save_ckpt(latest_path, host_state, epoch, cfg_json)
                 if score is not None and score > best_score:
                     best_score, best_metrics, es_cnt = score, metrics, 0
-                    ckpt.save_checkpoint(best_path, host_state, epoch, cfg_json)
+                    save_ckpt(best_path, host_state, epoch, cfg_json)
                 else:
                     es_cnt += 1
                     stop = 0 <= cfg.max_es_cnt <= es_cnt
@@ -444,7 +451,7 @@ def train_mr(
             if host_state is None:  # collective: all processes
                 host_state = _host_state(mesh, state)
             if is_main:
-                ckpt.save_checkpoint(
+                save_ckpt(
                     os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
                     host_state,
                     epoch,
@@ -466,7 +473,9 @@ def train_mr(
     if need_final:
         host_state = _host_state(mesh, state)  # collective: all processes
         if cfg.shard_index == 0:
-            ckpt.save_checkpoint(best_path, host_state, cfg.n_epoch - 1, cfg_json)
+            save_ckpt(best_path, host_state, cfg.n_epoch - 1, cfg_json)
+    if saver is not None:
+        saver.wait()  # files must exist before the caller reads them back
     if best_metrics is None:
         best_metrics = {}
     train_log.close()
