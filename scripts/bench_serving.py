@@ -82,7 +82,7 @@ def main():
 
     results = {}
     for name, max_batch, wait_ms in (
-        ("batched", 64, 8.0),
+        ("batched", 8, 8.0),
         ("per_request", 1, 0.0),
     ):
         pipe = GroundingPipeline(cfg, params, buckets=[75])
@@ -97,8 +97,19 @@ def main():
             f"http://127.0.0.1:{srv.port}/videos/v0", data=buf.getvalue(), method="PUT"
         )
         urllib.request.urlopen(req, timeout=60).read()
-        # warm the compile outside the timed window
-        run_load(srv.port, 2, 3.0, cfg.txt_dim)
+        # pre-compile every pow-2 batch program the micro-batcher can form,
+        # OUTSIDE the timed window (tunnel compiles are minutes each)
+        pv = srv.store.get("v0")
+        rng = np.random.default_rng(7)
+        b = 1
+        while b <= max_batch:
+            items = [
+                (pv, rng.standard_normal((12, cfg.txt_dim)).astype(np.float32))
+            ] * b
+            t0 = time.perf_counter()
+            pipe.ground_prepared_many(items)
+            print(f"warm B={b}: {time.perf_counter() - t0:.1f}s", flush=True)
+            b *= 2
         results[name] = run_load(srv.port, n_clients, duration, cfg.txt_dim)
         with srv.batcher._lock:
             results[name]["max_batch_size"] = srv.batcher.stats["max_batch_size"]

@@ -103,6 +103,39 @@ def test_pallas_int8_matmul_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
 
 
+def test_restore_serving_params_detects_format(model_and_params, tmp_path):
+    """restore_serving_params auto-detects int8 serving checkpoints vs float
+    training checkpoints so the serve/ground CLI needs no format flag."""
+    from flax import serialization
+
+    from univtg_tpu.serve.quantize import restore_serving_params
+
+    _, model, params, (txt, tm, vid, vm) = model_and_params
+    host = jax.tree_util.tree_map(np.asarray, params)
+
+    int8_path = str(tmp_path / "model_int8.ckpt")
+    save_quantized(int8_path, params)
+    got_q = restore_serving_params(int8_path, params)
+    assert jax.tree_util.tree_structure(got_q) == jax.tree_util.tree_structure(params)
+    out = model.apply({"params": got_q}, txt, tm, vid, vm, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]),
+        np.asarray(model.apply({"params": params}, txt, tm, vid, vm, train=False)["pred_logits"]),
+        atol=0.02,
+    )
+
+    # float training blob ({params: ...}) routes to checkpoint.restore_params
+    float_path = str(tmp_path / "model_f32.ckpt")
+    with open(float_path, "wb") as f:
+        f.write(serialization.msgpack_serialize({"params": host, "epoch": 3}))
+    got_f = restore_serving_params(float_path, params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(got_f),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
 def test_quantized_params_in_grounding_pipeline(model_and_params):
     """int8-dequantized params drive the serving pipeline to near-identical
     grounding outputs."""

@@ -137,7 +137,9 @@ def cmd_ground(args):
     cfg = _preset_cfg(args)
     model = UniVTG(cfg.model)
     state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
-    params = ckpt.restore_params(args.resume, state.params)
+    from univtg_tpu.serve.quantize import restore_serving_params
+
+    params = restore_serving_params(args.resume, state.params)
     clip_params, clip_cfg = load_clip_checkpoint(args.clip_ckpt)
     pipe = GroundingPipeline(
         cfg.model,
@@ -224,7 +226,9 @@ def cmd_serve(args):
 
     model = build_model(cfg)
     state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
-    params = ckpt.restore_params(args.resume, state.params)
+    from univtg_tpu.serve.quantize import restore_serving_params
+
+    params = restore_serving_params(args.resume, state.params)
     clip_encoder = None
     if args.clip_ckpt:
         from univtg_tpu.extract.pipeline import ClipEncoder

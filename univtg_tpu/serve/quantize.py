@@ -79,3 +79,22 @@ def load_quantized(path: str) -> dict:
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
     return dequantize_params(blob["q"], blob["scales"])
+
+
+def restore_serving_params(path: str, params_template):
+    """Serving-side checkpoint loader: accepts EITHER a float training
+    checkpoint (the {params, opt_state, ...} blob train/checkpoint.py
+    writes) OR an int8 serving checkpoint from save_quantized — detected by
+    the blob's keys, so `cli serve`/`cli ground --resume` work with both
+    without a flag."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    if isinstance(blob, dict) and set(blob.keys()) == {"q", "scales"}:
+        deq = dequantize_params(blob["q"], blob["scales"])
+        host_template = jax.tree_util.tree_map(np.asarray, params_template)
+        return serialization.from_state_dict(host_template, deq)
+    from univtg_tpu.train.checkpoint import restore_params
+
+    return restore_params(path, params_template)
