@@ -309,8 +309,15 @@ class GroundingServer:
                 except Exception as e:
                     self._reply(500, {"error": str(e)})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
-        self._httpd.daemon_threads = True
+        class Server(ThreadingHTTPServer):
+            # TCPServer's default listen backlog is 5; a burst of concurrent
+            # clients (the whole point of micro-batching) overflows it and
+            # the kernel RSTs the excess connections (observed under a
+            # 64-client load test). Match the backlog to the batching model.
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = Server((host, port), Handler)
         self._serve_thread: Optional[threading.Thread] = None
 
     def _parse_features(self, body: bytes, content_type: str) -> np.ndarray:
