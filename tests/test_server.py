@@ -202,6 +202,37 @@ def test_error_paths(server):
     assert e.value.code == 404
 
 
+def test_connection_burst_survives_listen_backlog(server):
+    """A burst of simultaneous connections larger than the stdlib default
+    listen backlog (5) must all be accepted — TCPServer's default RST'd the
+    excess under a 64-client load test, so GroundingServer listens with
+    backlog 128."""
+    _request(server, "/videos/burst", data=_npz_bytes(_rand_video(7, 9)),
+             method="PUT")
+    n = 24
+    barrier = threading.Barrier(n)
+    errors = []
+    lock = threading.Lock()
+
+    def fire(i):
+        body = json.dumps(
+            {"video": "burst", "query_feats": _rand_query(200 + i).tolist()}
+        ).encode()
+        barrier.wait()
+        try:
+            _request(server, "/ground", data=body, method="POST")
+        except Exception as e:  # ConnectionResetError pre-fix
+            with lock:
+                errors.append(repr(e))
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+
+
 def test_video_store_lru_eviction():
     pipe = _pipeline()
     from univtg_tpu.serve.server import VideoStore
