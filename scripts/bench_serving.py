@@ -25,6 +25,7 @@ def run_load(port: int, n_clients: int, duration_s: float, txt_dim: int):
     stop = time.perf_counter() + duration_s
     counts = [0] * n_clients
     lat = []
+    errors = []
     lock = threading.Lock()
 
     def client(i):
@@ -36,10 +37,21 @@ def run_load(port: int, n_clients: int, duration_s: float, txt_dim: int):
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/ground", data=body, method="POST"
             )
-            with urllib.request.urlopen(req, timeout=60) as r:
-                assert r.status == 200
-                json.loads(r.read())
+            # record failures instead of asserting: a dead client thread
+            # would silently skew qps/p95 toward a wrong-but-plausible number
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    ok = r.status == 200
+                    json.loads(r.read())
+            except Exception as e:
+                ok = False
+                err = repr(e)
+            else:
+                err = None if ok else f"http {r.status}"
             with lock:
+                if err is not None:
+                    errors.append(err)
+                    continue
                 lat.append((time.perf_counter() - t0) * 1e3)
             counts[i] += 1
 
@@ -51,6 +63,11 @@ def run_load(port: int, n_clients: int, duration_s: float, txt_dim: int):
         t.join()
     dt = time.perf_counter() - t0
     lat.sort()
+    if errors:
+        raise RuntimeError(
+            f"{len(errors)} request failures corrupt the measurement; "
+            f"first: {errors[0]}"
+        )
     return {
         "qps": round(sum(counts) / dt, 1),
         "p50_ms": round(lat[len(lat) // 2], 1) if lat else None,

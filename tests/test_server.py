@@ -202,6 +202,54 @@ def test_error_paths(server):
     assert e.value.code == 404
 
 
+def test_npy_body_and_request_validation(server):
+    """PUT accepts raw np.save bytes (not just npz); bad top_k is a 400,
+    an oversized body is a 413, and a keep-alive connection stays usable
+    after a 404 with a body (drain discipline)."""
+    # raw .npy registration
+    feats = _rand_video(55, 7)
+    buf = io.BytesIO()
+    np.save(buf, feats)
+    status, reg = _request(server, "/videos/npy", data=buf.getvalue(), method="PUT")
+    assert status == 200 and reg["clips"] == 7
+
+    # top_k=0 must be rejected at the HTTP layer, not crash the batcher
+    body = json.dumps(
+        {"video": "npy", "query_feats": _rand_query(55).tolist(), "top_k": 0}
+    ).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _request(server, "/ground", data=body, method="POST")
+    assert e.value.code == 400 and "top_k" in e.value.read().decode()
+
+    # oversized body -> 413 before reading it
+    server.max_body_bytes = 1024
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _request(server, "/videos/huge", data=b"x" * 4096, method="PUT")
+        assert e.value.code == 413
+    finally:
+        server.max_body_bytes = 512 * 1024 * 1024
+
+    # keep-alive: 404-with-body then a valid request on the SAME connection
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.request("POST", "/grond", body=body)  # typo'd path + body
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        good = json.dumps(
+            {"video": "npy", "query_feats": _rand_query(55).tolist()}
+        ).encode()
+        conn.request("POST", "/ground", body=good)
+        r = conn.getresponse()
+        assert r.status == 200
+        assert "top1_window" in json.loads(r.read())
+    finally:
+        conn.close()
+
+
 def test_connection_burst_survives_listen_backlog(server):
     """A burst of simultaneous connections larger than the stdlib default
     listen backlog (5) must all be accepted — TCPServer's default RST'd the

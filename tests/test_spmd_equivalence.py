@@ -94,6 +94,37 @@ def test_multislice_mesh_layout():
         make_mesh(dp=2, tp=1, slices=4, devices=jax.devices()[:2])
 
 
+def test_slice_device_selection_uses_subset_of_each_slice():
+    """A config needing fewer chips than the pod provides must pick
+    per-slice subsets, not the first dp*tp devices (which on slice-major
+    enumeration would all land in slice 0 and spuriously fail)."""
+    from univtg_tpu.parallel.mesh import _select_slice_devices
+
+    class Dev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+        def __repr__(self):
+            return f"d{self.id}@s{self.slice_index}"
+
+    # 2 slices x 4 chips, enumerated slice-major (the real-pod ordering)
+    pod = [Dev(i, i // 4) for i in range(8)]
+    # dp=2 x tp=2 over 2 slices -> 2 devices per slice
+    chosen = _select_slice_devices(pod, per_slice=2, slices=2)
+    assert [d.id for d in chosen] == [0, 1, 4, 5]
+    assert [d.slice_index for d in chosen] == [0, 0, 1, 1]
+
+    # interleaved enumeration still groups correctly
+    shuffled = [Dev(i, i % 2) for i in range(8)]
+    chosen = _select_slice_devices(shuffled, per_slice=2, slices=2)
+    assert [d.slice_index for d in chosen] == [0, 0, 1, 1]
+
+    with pytest.raises(ValueError, match="span 1 hardware slices"):
+        _select_slice_devices([Dev(i, 0) for i in range(4)], 2, 2)
+    with pytest.raises(ValueError, match="are needed per slice"):
+        _select_slice_devices(pod, per_slice=5, slices=2)
+
+
 def test_multislice_training_matches_single_device():
     """Training over the hybrid dp-over-slices layout is numerically the
     same computation: the mesh layout only changes which links collectives

@@ -217,14 +217,17 @@ def cmd_serve(args):
     single-user gradio demo, main_gradio.py:187-238)."""
     import jax
 
+    from univtg_tpu.models import UniVTG
     from univtg_tpu.serve import GroundingPipeline, GroundingServer
-    from univtg_tpu.train import checkpoint as ckpt
     from univtg_tpu.train.steps import init_state, make_optimizer
 
     cfg = _preset_cfg(args)
-    from univtg_tpu.train.driver_mr import build_model
-
-    model = build_model(cfg)
+    if cfg.model_id != "univtg":
+        raise SystemExit(
+            f"serve supports model_id='univtg' only (the dense-regression "
+            f"decode GroundingPipeline implements); got {cfg.model_id!r}"
+        )
+    model = UniVTG(cfg.model)
     state = init_state(model, cfg.model, make_optimizer(lambda s: 0.0), jax.random.PRNGKey(0))
     from univtg_tpu.serve.quantize import restore_serving_params
 
@@ -242,6 +245,7 @@ def cmd_serve(args):
     server = GroundingServer(
         pipe, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        request_timeout_s=args.request_timeout_s,
     )
     print(f"serving on http://{args.host}:{server.port}  (ctrl-c to stop)")
     try:
@@ -339,6 +343,9 @@ def build_parser():
     sp.add_argument("--port", type=int, default=8008)
     sp.add_argument("--max-batch", type=int, default=32)
     sp.add_argument("--max-wait-ms", type=float, default=4.0)
+    sp.add_argument("--request-timeout-s", type=float, default=600.0,
+                    help="per-request wait cap; must cover a first-touch "
+                         "jit compile of a new batch shape")
     sp.add_argument("overrides", nargs="*")
 
     sp = add("extract-text", cmd_extract_text)

@@ -24,6 +24,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _select_slice_devices(devices, per_slice: int, slices: int):
+    """Pick ``per_slice`` devices from each of ``slices`` hardware slices,
+    ordered slice-major. Pure (works on any objects with .slice_index/.id)
+    so the layout logic is testable without multi-slice hardware. Devices
+    must all report slice_index (callers check)."""
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(d.slice_index, []).append(d)
+    if len(groups) < slices:
+        raise ValueError(
+            f"requested slices={slices} but devices span "
+            f"{len(groups)} hardware slices"
+        )
+    chosen = []
+    for s_id in sorted(groups)[:slices]:
+        g = sorted(groups[s_id], key=lambda d: d.id)
+        if len(g) < per_slice:
+            raise ValueError(
+                f"hardware slice {s_id} has {len(g)} devices but "
+                f"dp_local*tp = {per_slice} are needed per slice"
+            )
+        chosen.extend(g[:per_slice])
+    return chosen
+
+
 def make_mesh(
     dp: Optional[int] = None, tp: int = 1, devices=None, slices: int = 1
 ) -> Mesh:
@@ -51,19 +76,17 @@ def make_mesh(
                 f"dp={dp} must be a multiple of slices={slices}: the dp axis "
                 f"is laid out slice-major so each slice holds dp/slices rows"
             )
-        devices = devices[: dp * tp]
-        # order by the hardware slice when the runtime reports it (real
-        # multi-slice TPU); virtual/CPU devices fall back to contiguous
-        # chunks standing in for slices
+        per_slice = (dp // slices) * tp
+        # group by the hardware slice when the runtime reports it (real
+        # multi-slice TPU) BEFORE selecting dp*tp devices, so a config that
+        # uses a subset of each slice's chips is still laid out one chunk
+        # per slice; virtual/CPU devices fall back to contiguous chunks
+        # standing in for slices
         slice_ids = [getattr(d, "slice_index", None) for d in devices]
         if all(s is not None for s in slice_ids):
-            if len(set(slice_ids)) != slices:
-                raise ValueError(
-                    f"requested slices={slices} but devices span "
-                    f"{len(set(slice_ids))} hardware slices"
-                )
-            devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
-        per_slice = (dp // slices) * tp
+            devices = _select_slice_devices(devices, per_slice, slices)
+        else:
+            devices = devices[: dp * tp]
         for s in range(slices):
             chunk = devices[s * per_slice : (s + 1) * per_slice]
             ids = {i for i in (getattr(d, "slice_index", None) for d in chunk)}

@@ -91,10 +91,9 @@ def restore_serving_params(path: str, params_template):
 
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
+    host_template = jax.tree_util.tree_map(np.asarray, params_template)
     if isinstance(blob, dict) and set(blob.keys()) == {"q", "scales"}:
-        deq = dequantize_params(blob["q"], blob["scales"])
-        host_template = jax.tree_util.tree_map(np.asarray, params_template)
-        return serialization.from_state_dict(host_template, deq)
-    from univtg_tpu.train.checkpoint import restore_params
-
-    return restore_params(path, params_template)
+        restored = dequantize_params(blob["q"], blob["scales"])
+    else:  # float training blob: {params, opt_state, ...} or bare params
+        restored = blob.get("params", blob) if isinstance(blob, dict) else blob
+    return serialization.from_state_dict(host_template, restored)

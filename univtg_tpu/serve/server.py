@@ -68,7 +68,10 @@ class VideoStore:
 
 
 class _Request:
-    __slots__ = ("pv", "txt", "top_k", "event", "result", "error", "t_enqueue")
+    __slots__ = (
+        "pv", "txt", "top_k", "event", "result", "error", "t_enqueue",
+        "abandoned",
+    )
 
     def __init__(self, pv, txt, top_k):
         self.pv = pv
@@ -78,6 +81,7 @@ class _Request:
         self.result = None
         self.error: Optional[BaseException] = None
         self.t_enqueue = time.perf_counter()
+        self.abandoned = False  # waiter gave up; worker must not dispatch it
 
 
 class MicroBatcher:
@@ -89,10 +93,20 @@ class MicroBatcher:
     are grouped by top_k (the pipeline groups by shape bucket internally).
     """
 
-    def __init__(self, pipeline, max_batch: int = 32, max_wait_ms: float = 4.0):
+    def __init__(
+        self,
+        pipeline,
+        max_batch: int = 32,
+        max_wait_ms: float = 4.0,
+        request_timeout_s: float = 600.0,
+    ):
+        # The default timeout must survive a first-touch jit compile of a
+        # new (bucket, batch) program — minutes on a tunneled TPU, not the
+        # tens of seconds a warm dispatch takes.
         self._pipeline = pipeline
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1e3
+        self._timeout_s = request_timeout_s
         self._q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self.stats = {
@@ -106,10 +120,11 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, pv, txt, top_k: int, timeout_s: float = 60.0) -> dict:
+    def submit(self, pv, txt, top_k: int, timeout_s: Optional[float] = None) -> dict:
         req = _Request(pv, txt, top_k)
         self._q.put(req)
-        if not req.event.wait(timeout_s):
+        if not req.event.wait(self._timeout_s if timeout_s is None else timeout_s):
+            req.abandoned = True  # worker skips it instead of dispatching
             raise TimeoutError("grounding request timed out")
         if req.error is not None:
             raise req.error
@@ -141,7 +156,7 @@ class MicroBatcher:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = self._drain()
+            batch = [r for r in self._drain() if not r.abandoned]
             if not batch:
                 continue
             with self._lock:
@@ -206,10 +221,14 @@ class GroundingServer:
         max_batch: int = 32,
         max_wait_ms: float = 4.0,
         max_videos: int = 64,
+        request_timeout_s: float = 600.0,
+        max_body_bytes: int = 512 * 1024 * 1024,
     ):
         self.pipeline = pipeline
         self.store = VideoStore(pipeline, max_videos)
-        self.batcher = MicroBatcher(pipeline, max_batch, max_wait_ms)
+        self.batcher = MicroBatcher(pipeline, max_batch, max_wait_ms,
+                                    request_timeout_s)
+        self.max_body_bytes = max_body_bytes
         service = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -228,6 +247,20 @@ class GroundingServer:
 
             def _body(self) -> bytes:
                 n = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(n) if n else b""
+
+            def _body_checked(self):
+                """Read the body, or reply 413 + close and return None when
+                it exceeds the size cap (one oversized PUT must not OOM the
+                host; the connection closes because the body is unread)."""
+                n = int(self.headers.get("Content-Length", 0))
+                if n > service.max_body_bytes:
+                    self.close_connection = True
+                    self._reply(413, {
+                        "error": f"body {n} bytes exceeds cap "
+                                 f"{service.max_body_bytes}"
+                    })
+                    return None
                 return self.rfile.read(n) if n else b""
 
             def do_GET(self):
@@ -257,10 +290,13 @@ class GroundingServer:
 
             def do_PUT(self):
                 if not self.path.startswith("/videos/"):
+                    self._body()  # drain: keep-alive clients reuse the socket
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
                 video_id = self.path[len("/videos/"):]
-                body = self._body()
+                body = self._body_checked()
+                if body is None:
+                    return
                 try:
                     feats = service._parse_features(
                         body, self.headers.get("Content-Type", "")
@@ -270,6 +306,7 @@ class GroundingServer:
                     self._reply(400, {"error": str(e)})
 
             def do_DELETE(self):
+                self._body()  # drain any body: keep-alive socket stays in sync
                 if not self.path.startswith("/videos/"):
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
@@ -284,12 +321,24 @@ class GroundingServer:
                     self.do_PUT()
                     return
                 if self.path != "/ground":
+                    self._body()  # drain: keep-alive clients reuse the socket
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
+                body = self._body_checked()
+                if body is None:
+                    return
                 try:
-                    req = json.loads(self._body() or b"{}")
+                    req = json.loads(body or b"{}")
                 except json.JSONDecodeError as e:
                     self._reply(400, {"error": f"bad json: {e}"})
+                    return
+                try:
+                    top_k = int(req.get("top_k", 5))
+                except (TypeError, ValueError):
+                    top_k = -1
+                if not 1 <= top_k <= 1000:
+                    self._reply(400, {"error": f"top_k must be in [1, 1000], "
+                                               f"got {req.get('top_k')!r}"})
                     return
                 video_id = req.get("video")
                 pv = service.store.get(video_id) if video_id else None
@@ -302,9 +351,7 @@ class GroundingServer:
                     self._reply(400, {"error": str(e)})
                     return
                 try:
-                    result = service.batcher.submit(
-                        pv, txt, int(req.get("top_k", 5))
-                    )
+                    result = service.batcher.submit(pv, txt, top_k)
                     self._reply(200, result)
                 except Exception as e:
                     self._reply(500, {"error": str(e)})
@@ -324,9 +371,13 @@ class GroundingServer:
         if "json" in content_type:
             feats = np.asarray(json.loads(body)["features"], np.float32)
         else:  # .npz / .npy bytes
-            with np.load(io.BytesIO(body)) as z:
-                key = "features" if "features" in z.files else z.files[0]
-                feats = np.asarray(z[key], np.float32)
+            loaded = np.load(io.BytesIO(body))
+            if isinstance(loaded, np.lib.npyio.NpzFile):
+                with loaded as z:
+                    key = "features" if "features" in z.files else z.files[0]
+                    feats = np.asarray(z[key], np.float32)
+            else:  # np.save bytes give a plain ndarray (no context manager)
+                feats = np.asarray(loaded, np.float32)
         if feats.ndim != 2 or len(feats) == 0:
             raise ValueError(f"features must be (T, D), got {feats.shape}")
         return feats
