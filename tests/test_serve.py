@@ -198,6 +198,32 @@ def test_ground_features_many_matches_single(fixture_feats):
     assert pipe.ground_features_many(vid, []) == []
 
 
+def test_bf16_param_serving_close_to_f32(fixture_feats):
+    """param_dtype='bfloat16' (the HBM-bandwidth serving mode) keeps the
+    grounding decisions: same top-1 highlight, overlapping top-1 window."""
+    vid_feats, txt_feats = fixture_feats
+    import jax
+    import jax.numpy as jnp
+
+    ref = build_ref()
+    params = params_from_torch_state_dict(ref.state_dict(), CFG)["params"]
+    want = GroundingPipeline(CFG, params, clip_len=2.0, buckets=[16, 32]).ground_features(
+        vid_feats, txt_feats
+    )
+    pipe16 = GroundingPipeline(
+        CFG, params, clip_len=2.0, buckets=[16, 32], param_dtype="bfloat16"
+    )
+    assert all(
+        l.dtype == jnp.bfloat16
+        for l in jax.tree_util.tree_leaves(pipe16.params)
+        if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+    )
+    got = pipe16.ground_features(vid_feats, txt_feats)
+    assert got["top1_highlight"] == want["top1_highlight"]
+    np.testing.assert_allclose(got["top1_window"], want["top1_window"], atol=2.0)
+    np.testing.assert_allclose(got["saliency"], want["saliency"], atol=0.05)
+
+
 def test_serve_decode_equals_batch_eval_decode(fixture_feats):
     """Serve and batch-eval run the SAME decode (train/steps.
     decode_dense_outputs, incl. the fp16 saliency parity cast): identical

@@ -240,7 +240,8 @@ def cmd_serve(args):
         clip_params, clip_cfg = load_clip_checkpoint(args.clip_ckpt)
         clip_encoder = ClipEncoder(clip_params, clip_cfg)
     pipe = GroundingPipeline(
-        cfg.model, params, clip_encoder=clip_encoder, eval_mode=cfg.eval_mode
+        cfg.model, params, clip_encoder=clip_encoder, eval_mode=cfg.eval_mode,
+        param_dtype=args.param_dtype,
     )
     server = GroundingServer(
         pipe, host=args.host, port=args.port,
@@ -346,6 +347,10 @@ def build_parser():
     sp.add_argument("--request-timeout-s", type=float, default=600.0,
                     help="per-request wait cap; must cover a first-touch "
                          "jit compile of a new batch shape")
+    sp.add_argument("--param-dtype", default=None,
+                    choices=[None, "bfloat16", "float32"],
+                    help="cast weights at load; bfloat16 halves weight HBM "
+                         "at rest (latency unchanged at serving shapes)")
     sp.add_argument("overrides", nargs="*")
 
     sp = add("extract-text", cmd_extract_text)

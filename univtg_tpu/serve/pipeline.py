@@ -51,10 +51,27 @@ class GroundingPipeline:
         buckets: Optional[Sequence[int]] = None,
         clip_encoder=None,
         eval_mode: Optional[str] = None,
+        param_dtype: Optional[str] = None,
     ):
         """eval_mode=None matches the reference demo (raw saliency,
         main_gradio.py:103); 'add' matches the batch evaluator's fused
-        saliency+fg ranking (inference_mr.py:124-131)."""
+        saliency+fg ranking (inference_mr.py:124-131).
+
+        param_dtype='bfloat16' casts the float weights once at construction:
+        halves weight HBM at rest (173 -> 87 MB for the flagship) at
+        bf16-class accuracy — the class the MXU computes in anyway under
+        compute_dtype='bfloat16'. Measured latency at serving shapes is
+        unchanged (the forward is FLOP-bound from B=4 up and XLA hoists the
+        weight cast out of hot loops; docs/PERF.md "Serving param dtype").
+        Use it to pack more models/videos per chip. None keeps checkpoint
+        precision."""
+        if param_dtype is not None:
+            dt = jnp.dtype(param_dtype)
+            params = jax.tree_util.tree_map(
+                lambda l: l.astype(dt)
+                if np.issubdtype(np.asarray(l).dtype, np.floating) else l,
+                params,
+            )
         self.cfg = cfg
         self.params = params
         self.clip_len = clip_len
