@@ -281,6 +281,33 @@ def test_connection_burst_survives_listen_backlog(server):
     assert not errors, errors[:3]
 
 
+def test_warmup_precompiles_ladder(server):
+    """warmup() drives every pow-2 batch program directly through the
+    pipeline (no batcher stats pollution) and the server still answers."""
+    with server.batcher._lock:
+        before = dict(server.batcher.stats)
+    logged = []
+    server.warmup(video_lengths=[10, 20], log=logged.append)
+    # pow-2 ladder up to max_batch=16 per bucket: 1,2,4,8,16
+    assert len(logged) == 2 * 5
+    assert all("warmup bucket=" in line for line in logged)
+    with server.batcher._lock:
+        after = dict(server.batcher.stats)
+    assert after["requests"] == before["requests"]
+    assert after["batches"] == before["batches"]
+
+    _request(server, "/videos/warm", data=_npz_bytes(_rand_video(77, 12)),
+             method="PUT")
+    status, got = _request(
+        server, "/ground",
+        data=json.dumps(
+            {"video": "warm", "query_feats": _rand_query(77).tolist()}
+        ).encode(),
+        method="POST",
+    )
+    assert status == 200 and "top1_window" in got
+
+
 def test_video_store_lru_eviction():
     pipe = _pipeline()
     from univtg_tpu.serve.server import VideoStore

@@ -248,6 +248,25 @@ def cmd_serve(args):
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         request_timeout_s=args.request_timeout_s,
     )
+    if args.warmup is not None:
+        lengths = (
+            None if args.warmup == "default"
+            else [int(x) for x in args.warmup.split(",")]
+        )
+        print("warming batch programs (compile happens now, not on the "
+              "first client)...")
+        server.warmup(lengths)
+
+    import signal
+
+    def _sigterm(*_):
+        # SIGTERM (systemd/k8s stop) drains like ctrl-c instead of killing
+        # mid-batch; raising lets serve_forever unwind — calling
+        # server.close() here would deadlock (shutdown() waits on the very
+        # loop this handler interrupts)
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     print(f"serving on http://{args.host}:{server.port}  (ctrl-c to stop)")
     try:
         server.serve_forever()
@@ -351,6 +370,10 @@ def build_parser():
                     choices=[None, "bfloat16", "float32"],
                     help="cast weights at load; bfloat16 halves weight HBM "
                          "at rest (latency unchanged at serving shapes)")
+    sp.add_argument("--warmup", nargs="?", const="default", default=None,
+                    help="pre-compile the batch-program ladder before "
+                         "accepting traffic; optionally a comma-separated "
+                         "list of video lengths (e.g. 128,512)")
     sp.add_argument("overrides", nargs="*")
 
     sp = add("extract-text", cmd_extract_text)

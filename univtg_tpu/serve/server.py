@@ -398,6 +398,36 @@ class GroundingServer:
             return txt2clip(self.pipeline.clip_encoder, req["query"])
         raise ValueError("request needs query_feats or query")
 
+    def warmup(self, video_lengths=None, log=print):
+        """Pre-compile the batch-program ladder BEFORE taking traffic.
+
+        One program exists per (video bucket, text bucket, pow-2 batch)
+        triple; on a fresh process each is a multi-second (tunneled: multi-
+        minute) jit compile that would otherwise land on the first unlucky
+        client. Warms every pow-2 batch size up to max_batch for each given
+        video length's bucket (default: the smallest bucket) at the common
+        32-token text bucket."""
+        pipe = self.pipeline
+        lengths = list(video_lengths or [pipe.buckets[0]])
+        rng = np.random.default_rng(0)
+        d_raw = pipe.cfg.vid_dim - 2  # prepare_video appends 2 TEF dims
+        for length in lengths:
+            pv = pipe.prepare_video(
+                rng.standard_normal((int(length), d_raw)).astype(np.float32)
+            )
+            b = 1
+            while b <= self.batcher._max_batch:
+                txts = [
+                    rng.standard_normal((12, pipe.cfg.txt_dim)).astype(np.float32)
+                ] * b
+                t0 = time.perf_counter()
+                pipe.ground_prepared_many([(pv, t) for t in txts])
+                log(
+                    f"warmup bucket={pv.bucket} B={b}: "
+                    f"{time.perf_counter() - t0:.1f}s"
+                )
+                b *= 2
+
     @property
     def port(self) -> int:
         return self._httpd.server_address[1]
