@@ -157,3 +157,70 @@ def test_cli_infer_mr(tmp_path):
     assert "MR-full-mAP-key" in run.stdout
     rows = [json.loads(l) for l in open(out_jsonl)]
     assert len(rows) == 6 and "pred_relevant_windows" in rows[0]
+
+
+def test_cli_train_hl_end_to_end(tmp_path):
+    """CLI wiring for the HL driver: synthetic TVSum-style corpus through
+    `train-hl` with dotted overrides; per-domain + AVG mAP on stdout."""
+    from univtg_tpu.data.synthetic import create_synthetic_hl_corpus
+
+    corpus = create_synthetic_hl_corpus(
+        str(tmp_path / "hl"), dset_name="tvsum", n_train=6, n_val=3
+    )
+    overrides = [
+        f"data.anno_path={corpus['anno_path']}",
+        f"data.splits_path={corpus['splits_path']}",
+        f"data.v_feat_dirs={tuple(corpus['v_feat_dirs'])}",
+        f"data.q_feat_dir={corpus['q_feat_dir']}",
+        f"data.q_feat_dim={corpus['q_dim']}",
+        f"data.max_v_l={corpus['max_clips']}",
+        "data.max_q_l=8",
+        f"model.vid_dim={corpus['v_dim'] + 2}",
+        f"model.txt_dim={corpus['q_dim']}",
+        "model.hidden_dim=32", "model.num_layers=1", "model.num_heads=4",
+        "model.ffn_dim=48", "model.input_dropout=0.1",
+        f"model.max_v_l={corpus['max_clips']}", "model.max_q_l=8",
+        "domains=('SYN',)",
+        f"results_dir={tmp_path / 'hl_run'}",
+        "bsz=4", "eval_bsz=4", "n_epoch=1", "eval_epoch=1", "lr_warmup=1",
+        "dp=1", "tp=1",
+    ]
+    result = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "train-hl", "--preset",
+         "tvsum_hl"] + overrides,
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    scores = json.loads(result.stdout[result.stdout.index("{"):])
+    assert "SYN" in scores and "AVG" in scores
+
+
+def test_cli_pack_h5(tmp_path):
+    """CLI wiring for the h5 packer over a synthetic MR corpus."""
+    import os
+
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+
+    corpus = create_synthetic_mr_corpus(
+        str(tmp_path / "c"), n_train=4, n_val=2, seed=3
+    )
+    out_dir = str(tmp_path / "h5")
+    result = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "pack-h5",
+         "--metadata", corpus["train_path"],
+         "--v-feat-dirs", corpus["v_feat_dirs"][0],
+         "--q-feat-dir", corpus["q_feat_dir"],
+         "--out-dir", out_dir],
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".hdf5") for f in files), files
