@@ -103,7 +103,9 @@ def cmd_infer_mr(args):
         eval_mode=cfg.eval_mode,
         clip_length=cfg.eval_data.clip_len,
         round_multiple=cfg.round_multiple,
-        transfer_dtype=cfg.transfer_dtype,
+        # evaluation uses the eval-side transfer precision (default f32),
+        # not the training-throughput compression, matching in-training eval
+        transfer_dtype=cfg.transfer_dtype_eval,
     )
     out = args.out or "inference_preds.jsonl"
     save_jsonl(submission, out)
