@@ -224,3 +224,35 @@ def test_cli_pack_h5(tmp_path):
     assert result.returncode == 0, result.stderr[-2000:]
     files = os.listdir(out_dir)
     assert any(f.endswith(".hdf5") for f in files), files
+
+
+def test_cli_train_qfvs_end_to_end(tmp_path):
+    """CLI wiring for the QFVS driver: synthetic UT-Ego-style corpus +
+    synthetic Tags.mat through `train-qfvs`; per-split F1 on stdout."""
+    from univtg_tpu.data.synthetic import create_synthetic_qfvs_corpus
+
+    corpus = create_synthetic_qfvs_corpus(str(tmp_path / "qfvs"))
+    overrides = [
+        f"data.root={corpus['root']}",
+        "data.max_segment_num=4", "data.max_frame_num=16",
+        "data.train_videos=(1,2,3)",
+        f"tags_mat_path={corpus['tags_mat_path']}",
+        "model.vid_dim=34", "model.txt_dim=16", "model.hidden_dim=32",
+        "model.num_layers=1", "model.num_heads=4", "model.ffn_dim=48",
+        "model.input_dropout=0.1", "model.max_v_l=16", "model.max_q_l=8",
+        "max_q_l=8",
+        f"results_dir={tmp_path / 'run'}",
+        "n_epoch=1", "eval_epoch=1", "splits=((2,3,4),)",
+    ]
+    result = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "train-qfvs", "--preset",
+         "qfvs"] + overrides,
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    scores = json.loads(result.stdout[result.stdout.index("{"):])
+    assert "V1" in scores and "F" in scores["V1"]

@@ -122,3 +122,23 @@ def test_qfvs_driver_smoke(corpus, tmp_path):
     assert "V1" in results and "V4" in results and "AVG_F" in results
     for k in ("V1", "V4"):
         assert set(results[k]) == {"F", "R", "P"}
+
+
+def test_tags_mat_roundtrip(tmp_path):
+    """write_tags_mat produces the exact eval/Tags.mat cell nesting that
+    load_videos_tag parses: matrices roundtrip shape- and value-exact."""
+    import numpy as np
+
+    from univtg_tpu.data.synthetic import write_tags_mat
+    from univtg_tpu.evals.qfvs_metric import load_videos_tag
+
+    rng = np.random.default_rng(0)
+    videos_tag = [
+        (rng.uniform(0, 1, (7, 4)) > 0.5).astype(int),
+        (rng.uniform(0, 1, (3, 4)) > 0.5).astype(int),
+    ]
+    path = write_tags_mat(str(tmp_path / "Tags.mat"), videos_tag)
+    loaded = load_videos_tag(path)
+    assert len(loaded) == 2
+    for want, got in zip(videos_tag, loaded):
+        np.testing.assert_array_equal(got, want)

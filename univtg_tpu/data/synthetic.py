@@ -153,6 +153,26 @@ def create_synthetic_hl_corpus(
     }
 
 
+def write_tags_mat(path: str, videos_tag) -> str:
+    """Write per-video shot-tag matrices in the eval/Tags.mat cell nesting
+    that evals.qfvs_metric.load_videos_tag expects (Tags{1,V}{1,S}{1,1} ->
+    concept vector), so synthetic corpora can drive the Tags.mat-consuming
+    CLI/driver paths end-to-end."""
+    import scipy.io
+
+    vids = np.empty((1, len(videos_tag)), dtype=object)
+    for i, tags in enumerate(videos_tag):
+        tags = np.asarray(tags)
+        shots = np.empty((1, len(tags)), dtype=object)
+        for s in range(len(tags)):
+            cell = np.empty((1, 1), dtype=object)
+            cell[0, 0] = tags[s]
+            shots[0, s] = cell
+        vids[0, i] = shots
+    scipy.io.savemat(path, {"Tags": vids})
+    return path
+
+
 def create_synthetic_qfvs_corpus(
     root: str,
     videos=(1, 2, 3, 4),
@@ -222,4 +242,10 @@ def create_synthetic_qfvs_corpus(
             pick = hits[: max(2, len(hits) // 4)]
             with open(os.path.join(odir, f"{c1}_{c2}_oracle.txt"), "w") as f:
                 f.write("\n".join(str(int(s) + 1) for s in pick))
-    return {"root": root, "videos_tag": videos_tag, "concepts": concepts}
+    tags_mat_path = write_tags_mat(os.path.join(root, "Tags.mat"), videos_tag)
+    return {
+        "root": root,
+        "videos_tag": videos_tag,
+        "concepts": concepts,
+        "tags_mat_path": tags_mat_path,
+    }

@@ -25,7 +25,9 @@ def load_videos_tag(mat_path: str):
     out = []
     for video_mat in videos:
         video_mat = video_mat[0]
-        out.append(np.array([shot_vec[0][0] for shot_vec in video_mat]))
+        # ravel: MATLAB has no 1-D arrays, so a per-shot concept vector can
+        # load as (1, C); consumers need (num_shots, num_concepts)
+        out.append(np.array([np.ravel(shot_vec[0][0]) for shot_vec in video_mat]))
     return out
 
 
