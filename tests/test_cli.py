@@ -198,6 +198,20 @@ def test_cli_train_hl_end_to_end(tmp_path):
     scores = json.loads(result.stdout[result.stdout.index("{"):])
     assert "SYN" in scores and "AVG" in scores
 
+    # eval-only re-run from the per-domain checkpoints (infer-hl wiring)
+    result = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "infer-hl", "--preset",
+         "tvsum_hl", "--ckpt-dir", str(tmp_path / "hl_run")] + overrides,
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    rescores = json.loads(result.stdout[result.stdout.index("{"):])
+    assert rescores["SYN"] == pytest.approx(scores["SYN"], abs=1e-6)
+
 
 def test_cli_pack_h5(tmp_path):
     """CLI wiring for the h5 packer over a synthetic MR corpus."""
@@ -256,3 +270,17 @@ def test_cli_train_qfvs_end_to_end(tmp_path):
     assert result.returncode == 0, result.stderr[-3000:]
     scores = json.loads(result.stdout[result.stdout.index("{"):])
     assert "V1" in scores and "F" in scores["V1"]
+
+    # eval-only re-run from the split checkpoints (infer-qfvs wiring)
+    result = subprocess.run(
+        [sys.executable, "-m", "univtg_tpu.cli", "infer-qfvs", "--preset",
+         "qfvs", "--ckpt-dir", str(tmp_path / "run")] + overrides,
+        capture_output=True,
+        text=True,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    rescores = json.loads(result.stdout[result.stdout.index("{"):])
+    assert rescores["V1"]["F"] == pytest.approx(scores["V1"]["F"], abs=1e-6)
