@@ -288,8 +288,8 @@ def test_warmup_precompiles_ladder(server):
         before = dict(server.batcher.stats)
     logged = []
     server.warmup(video_lengths=[10, 20], log=logged.append)
-    # pow-2 ladder up to max_batch=16 per bucket: 1,2,4,8,16
-    assert len(logged) == 2 * 5
+    # pow-2 ladder up to max_batch=16 per (video bucket x 2 text buckets)
+    assert len(logged) == 2 * 2 * 5
     assert all("warmup bucket=" in line for line in logged)
     with server.batcher._lock:
         after = dict(server.batcher.stats)

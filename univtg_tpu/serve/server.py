@@ -405,8 +405,8 @@ class GroundingServer:
         triple; on a fresh process each is a multi-second (tunneled: multi-
         minute) jit compile that would otherwise land on the first unlucky
         client. Warms every pow-2 batch size up to max_batch for each given
-        video length's bucket (default: the smallest bucket) at the common
-        32-token text bucket."""
+        video length's bucket (default: the smallest bucket), for BOTH text
+        buckets (32 and 77 tokens)."""
         pipe = self.pipeline
         lengths = list(video_lengths or [pipe.buckets[0]])
         rng = np.random.default_rng(0)
@@ -415,18 +415,22 @@ class GroundingServer:
             pv = pipe.prepare_video(
                 rng.standard_normal((int(length), d_raw)).astype(np.float32)
             )
-            b = 1
-            while b <= self.batcher._max_batch:
-                txts = [
-                    rng.standard_normal((12, pipe.cfg.txt_dim)).astype(np.float32)
-                ] * b
-                t0 = time.perf_counter()
-                pipe.ground_prepared_many([(pv, t) for t in txts])
-                log(
-                    f"warmup bucket={pv.bucket} B={b}: "
-                    f"{time.perf_counter() - t0:.1f}s"
-                )
-                b *= 2
+            for n_tok in (12, 40):  # _prepare_txt buckets: 32 and 77
+                b = 1
+                while b <= self.batcher._max_batch:
+                    txts = [
+                        rng.standard_normal((n_tok, pipe.cfg.txt_dim)).astype(
+                            np.float32
+                        )
+                    ] * b
+                    t0 = time.perf_counter()
+                    pipe.ground_prepared_many([(pv, t) for t in txts])
+                    log(
+                        f"warmup bucket={pv.bucket} "
+                        f"Lt<={32 if n_tok <= 32 else 77} B={b}: "
+                        f"{time.perf_counter() - t0:.1f}s"
+                    )
+                    b *= 2
 
     @property
     def port(self) -> int:
