@@ -386,6 +386,15 @@ def build_parser():
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var in-process: on hosts where a PJRT plugin
+        # registers via inherited env (tunneled TPU pools), the env var
+        # alone does not stick — the config update does
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from univtg_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()  # reuse compiled XLA programs across runs
