@@ -74,7 +74,9 @@ def run_shape(B, Lv, Lt=32):
                 params,
             )
         p = jax.device_put(p)
-        chained(p, vid, 2).block_until_ready()  # compile + warm
+        # warm with the SAME static n as the timed calls — n is a static
+        # arg, so a different n compiles a different program
+        chained(p, vid, N).block_until_ready()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -25,18 +25,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _pin_platform_from_env():
-    """Honor JAX_PLATFORMS in-process: on hosts where a PJRT plugin
-    registers itself via inherited env (e.g. tunneled TPU pools), the env
-    var alone does not stick — the config update does."""
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-
 def main():
-    _pin_platform_from_env()
+    from univtg_tpu.utils.compile_cache import pin_platform_from_env
+
+    pin_platform_from_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--resume", required=True, help="released .ckpt (torch.save)")
     ap.add_argument("--opt-json", default=None, help="saved opt.json (default: next to ckpt)")

@@ -308,6 +308,54 @@ def test_warmup_precompiles_ladder(server):
     assert status == 200 and "top1_window" in got
 
 
+def test_warmup_ladder_covers_non_pow2_max_batch():
+    """With max_batch=3 the dispatcher pads full batches to 4, so warmup
+    must compile B=1,2,4 — not stop at 3."""
+    srv = GroundingServer(_pipeline(), port=0, max_batch=3, max_wait_ms=5.0)
+    try:
+        logged = []
+        srv.warmup(video_lengths=[10], log=logged.append)
+        sizes = sorted({int(line.rsplit("B=", 1)[1].split(":")[0]) for line in logged})
+        assert sizes == [1, 2, 4]
+    finally:
+        srv.close()
+
+
+def test_overlong_video_truncates_to_top_bucket(server):
+    """Features longer than the largest bucket truncate (bucket_length's
+    contract) instead of crashing np.pad with a negative width."""
+    pv = server.pipeline.prepare_video(_rand_video(9, 40))  # buckets top = 32
+    assert pv.ctx_l == 32 and pv.bucket == 32
+
+    status, reg = _request(
+        server, "/videos/long", data=_npz_bytes(_rand_video(9, 40)), method="PUT"
+    )
+    assert status == 200 and reg["clips"] == 32
+
+
+def test_param_dtype_roundtrip_bf16_then_f32():
+    """param_dtype='float32' must upcast a bf16 tree (jnp.issubdtype —
+    np.issubdtype is False for ml_dtypes bfloat16 and silently skipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from univtg_tpu.serve import GroundingPipeline
+
+    pipe16 = GroundingPipeline(
+        CFG, _pipeline().params, clip_len=2.0, buckets=[16], param_dtype="bfloat16"
+    )
+    leaves = jax.tree_util.tree_leaves(pipe16.params)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    pipe32 = GroundingPipeline(
+        CFG, pipe16.params, clip_len=2.0, buckets=[16], param_dtype="float32"
+    )
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(pipe32.params)
+        if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+    )
+
+
 def test_video_store_lru_eviction():
     pipe = _pipeline()
     from univtg_tpu.serve.server import VideoStore

@@ -251,10 +251,18 @@ def cmd_serve(args):
         request_timeout_s=args.request_timeout_s,
     )
     if args.warmup is not None:
-        lengths = (
-            None if args.warmup == "default"
-            else [int(x) for x in args.warmup.split(",")]
-        )
+        if args.warmup == "default":
+            lengths = None
+        else:
+            try:
+                lengths = [int(x) for x in args.warmup.split(",")]
+            except ValueError:
+                raise SystemExit(
+                    f"--warmup takes a comma-separated list of video "
+                    f"lengths (e.g. --warmup=128,512), got {args.warmup!r}. "
+                    f"Bare --warmup must come after the positional "
+                    f"overrides or use the --warmup=... form."
+                )
         print("warming batch programs (compile happens now, not on the "
               "first client)...")
         server.warmup(lengths)
@@ -273,7 +281,10 @@ def cmd_serve(args):
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        server.close()
+        # drain: in-flight requests get answers, bounded by the same cap a
+        # live request has (keep it under the k8s termination grace period)
+        print("draining in-flight requests...")
+        server.close(drain_s=args.request_timeout_s)
 
 
 def cmd_extract_text(args):
@@ -386,17 +397,12 @@ def build_parser():
 
 
 def main(argv=None):
-    import os
+    from univtg_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+        pin_platform_from_env,
+    )
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # honor the env var in-process: on hosts where a PJRT plugin
-        # registers via inherited env (tunneled TPU pools), the env var
-        # alone does not stick — the config update does
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    from univtg_tpu.utils.compile_cache import enable_compilation_cache
-
+    pin_platform_from_env()
     enable_compilation_cache()  # reuse compiled XLA programs across runs
     args = build_parser().parse_args(argv)
     args.fn(args)

@@ -67,9 +67,11 @@ class GroundingPipeline:
         precision."""
         if param_dtype is not None:
             dt = jnp.dtype(param_dtype)
+            # jnp.issubdtype, not np: ml_dtypes bfloat16 is not an np float
+            # subtype, and a bf16 tree must still upcast to float32
             params = jax.tree_util.tree_map(
                 lambda l: l.astype(dt)
-                if np.issubdtype(np.asarray(l).dtype, np.floating) else l,
+                if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating) else l,
                 params,
             )
         self.cfg = cfg
@@ -95,6 +97,10 @@ class GroundingPipeline:
         """(T, Dv) clip features -> bucket-padded tensors. Servers cache the
         result per video id and pass it to ground_prepared_many."""
         vid = l2_normalize(np.asarray(vid_feats, np.float32))
+        if len(vid) > self.buckets[-1]:
+            # bucket_length truncates overlong inputs to the top bucket;
+            # actually drop the tail clips so the pad below stays >= 0
+            vid = vid[: self.buckets[-1]]
         ctx_l = len(vid)
         ts = timestamp_grid(ctx_l, self.clip_len)
         vid = np.concatenate([vid, tef_features(ctx_l)], axis=1)

@@ -183,9 +183,12 @@ class MicroBatcher:
                     for r in reqs:
                         r.event.set()
 
-    def close(self):
+    def close(self, drain_s: float = 2.0):
+        """Stop the worker; wait up to drain_s for the in-flight batch.
+        Pass a large drain_s (e.g. the request timeout) for a graceful
+        shutdown that lets a mid-dispatch batch finish."""
         self._stop.set()
-        self._thread.join(timeout=2.0)
+        self._thread.join(timeout=drain_s)
 
 
 def _json_default(o):
@@ -229,6 +232,8 @@ class GroundingServer:
         self.batcher = MicroBatcher(pipeline, max_batch, max_wait_ms,
                                     request_timeout_s)
         self.max_body_bytes = max_body_bytes
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         service = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -350,11 +355,16 @@ class GroundingServer:
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
                     return
+                with service._inflight_lock:
+                    service._inflight += 1
                 try:
                     result = service.batcher.submit(pv, txt, top_k)
                     self._reply(200, result)
                 except Exception as e:
                     self._reply(500, {"error": str(e)})
+                finally:
+                    with service._inflight_lock:
+                        service._inflight -= 1
 
         class Server(ThreadingHTTPServer):
             # TCPServer's default listen backlog is 5; a burst of concurrent
@@ -415,9 +425,13 @@ class GroundingServer:
             pv = pipe.prepare_video(
                 rng.standard_normal((int(length), d_raw)).astype(np.float32)
             )
+            # the dispatcher pads to the next pow-2, so a full batch of a
+            # non-pow-2 max_batch runs the program ABOVE max_batch — warm
+            # up to that one, not just max_batch
+            top = 1 << (self.batcher._max_batch - 1).bit_length()
             for n_tok in (12, 40):  # _prepare_txt buckets: 32 and 77
                 b = 1
-                while b <= self.batcher._max_batch:
+                while b <= top:
                     txts = [
                         rng.standard_normal((n_tok, pipe.cfg.txt_dim)).astype(
                             np.float32
@@ -438,6 +452,7 @@ class GroundingServer:
 
     def start(self):
         """Serve in a background thread (returns immediately)."""
+        self._serving = True
         self._serve_thread = threading.Thread(
             target=self._httpd.serve_forever, kwargs={"poll_interval": 0.05},
             daemon=True,
@@ -446,11 +461,25 @@ class GroundingServer:
         return self
 
     def serve_forever(self):
+        self._serving = True
         self._httpd.serve_forever()
 
-    def close(self):
-        self._httpd.shutdown()
+    def close(self, drain_s: float = 2.0):
+        """Stop accepting, then wait up to drain_s for in-flight /ground
+        requests to get their responses (the batcher worker keeps running
+        through the drain window, so queued requests still dispatch),
+        then stop the worker."""
+        if getattr(self, "_serving", False):
+            # shutdown() blocks on serve_forever's exit event — which is
+            # never set if the serve loop never ran (warmup-only servers)
+            self._httpd.shutdown()  # stop accepting; handlers continue
+        deadline = time.perf_counter() + drain_s
+        while time.perf_counter() < deadline:
+            with self._inflight_lock:
+                if self._inflight == 0:
+                    break
+            time.sleep(0.02)
         self._httpd.server_close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=2.0)
-        self.batcher.close()
+        self.batcher.close(max(0.1, deadline - time.perf_counter()))

@@ -18,6 +18,28 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/univtg_tpu/xla")
 
 
+def pin_platform_from_env() -> None:
+    """Honor JAX_PLATFORMS in-process. On hosts where a PJRT plugin
+    registers itself at interpreter start (tunneled TPU pools), the plugin
+    overwrites jax's platform config (e.g. to "axon,cpu") so the env var
+    alone never sticks — re-applying it via jax.config does. Precedence:
+    an explicit single-platform pin made in-process (a caller did
+    jax.config.update('jax_platforms', 'cpu') before invoking us) wins
+    over the env var; the plugin's ambient multi-platform selection does
+    not. No-op when the env var is unset. Call before first device use."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+
+    cur = jax.config.jax_platforms or ""
+    cur_list = [p.strip() for p in cur.split(",") if p.strip()]
+    if len(cur_list) == 1 and cur_list != [env]:
+        return  # deliberate in-process pin — don't clobber it
+    if cur != env:
+        jax.config.update("jax_platforms", env)
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Enable the persistent compilation cache (idempotent).
 
