@@ -356,6 +356,39 @@ def test_param_dtype_roundtrip_bf16_then_f32():
     )
 
 
+def test_close_drains_inflight_requests():
+    """close(drain_s) must answer requests already submitted — the worker
+    keeps dispatching through the drain window instead of dying mid-batch."""
+    import time as _time
+
+    pipe = _pipeline()
+    real_many = pipe.ground_prepared_many
+
+    def slow_many(items, top_k=5):
+        _time.sleep(0.6)  # make the dispatch clearly in-flight during close
+        return real_many(items, top_k)
+
+    pipe.ground_prepared_many = slow_many
+    srv = GroundingServer(pipe, port=0, max_batch=4, max_wait_ms=5.0)
+    srv.start()
+    _request(srv, "/videos/v", data=_npz_bytes(_rand_video(1, 8)), method="PUT")
+    body = json.dumps(
+        {"video": "v", "query_feats": _rand_query(1).tolist()}
+    ).encode()
+    results = []
+
+    def fire():
+        results.append(_request(srv, "/ground", data=body, method="POST"))
+
+    t = threading.Thread(target=fire)
+    t.start()
+    _time.sleep(0.15)  # let the request reach the batcher
+    srv.close(drain_s=10.0)
+    t.join(timeout=10)
+    assert results and results[0][0] == 200
+    assert "top1_window" in results[0][1]
+
+
 def test_video_store_lru_eviction():
     pipe = _pipeline()
     from univtg_tpu.serve.server import VideoStore
