@@ -356,6 +356,23 @@ def test_param_dtype_roundtrip_bf16_then_f32():
     )
 
 
+def test_prometheus_metrics_endpoint(server):
+    """GET /metrics serves the counters in Prometheus text format."""
+    req = urllib.request.Request(_url(server, "/metrics"))
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    for metric in ("univtg_requests_total", "univtg_batches_total",
+                   "univtg_request_errors_total", "univtg_inflight_requests",
+                   "univtg_registered_videos"):
+        assert f"\n{metric} " in "\n" + body, body
+    # counters are plain numbers
+    for line in body.splitlines():
+        if line.startswith("univtg_") and "{" not in line:
+            float(line.split()[-1])
+
+
 def test_close_drains_inflight_requests():
     """close(drain_s) must answer requests already submitted — the worker
     keeps dispatching through the drain window instead of dying mid-batch."""

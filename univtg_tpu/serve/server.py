@@ -288,6 +288,14 @@ class GroundingServer:
                         s["latency_p50_ms"] = round(lat[len(lat) // 2], 3)
                         s["latency_p95_ms"] = round(lat[int(len(lat) * 0.95)], 3)
                     self._reply(200, s)
+                elif self.path == "/metrics":
+                    body = service._prometheus_metrics().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/videos":
                     self._reply(200, {"videos": service.store.ids()})
                 else:
@@ -407,6 +415,40 @@ class GroundingServer:
 
             return txt2clip(self.pipeline.clip_encoder, req["query"])
         raise ValueError("request needs query_feats or query")
+
+    def _prometheus_metrics(self) -> str:
+        """GET /metrics: the batcher counters in Prometheus text format, so
+        the service plugs into standard scrape-based monitoring (the JSON
+        /stats endpoint stays for humans)."""
+        with self.batcher._lock:
+            s = dict(self.batcher.stats)
+            lat = sorted(s.pop("latency_ms"))
+        with self._inflight_lock:
+            inflight = self._inflight
+        lines = [
+            "# TYPE univtg_requests_total counter",
+            f"univtg_requests_total {s['requests']}",
+            "# TYPE univtg_batches_total counter",
+            f"univtg_batches_total {s['batches']}",
+            "# TYPE univtg_request_errors_total counter",
+            f"univtg_request_errors_total {s['errors']}",
+            "# TYPE univtg_max_batch_size gauge",
+            f"univtg_max_batch_size {s['max_batch_size']}",
+            "# TYPE univtg_inflight_requests gauge",
+            f"univtg_inflight_requests {inflight}",
+            "# TYPE univtg_registered_videos gauge",
+            f"univtg_registered_videos {len(self.store.ids())}",
+        ]
+        if lat:
+            lines.append("# TYPE univtg_request_latency_ms summary")
+            for q, idx in (("0.5", len(lat) // 2),
+                           ("0.95", int(len(lat) * 0.95)),
+                           ("0.99", int(len(lat) * 0.99))):
+                lines.append(
+                    f'univtg_request_latency_ms{{quantile="{q}"}} '
+                    f"{lat[min(idx, len(lat) - 1)]:.3f}"
+                )
+        return "\n".join(lines) + "\n"
 
     def warmup(self, video_lengths=None, log=print):
         """Pre-compile the batch-program ladder BEFORE taking traffic.
