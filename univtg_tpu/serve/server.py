@@ -204,7 +204,8 @@ class GroundingServer:
 
     Endpoints:
       GET    /healthz           -> {"ok": true, "platform": ...}
-      GET    /stats             -> batching/latency counters
+      GET    /stats             -> batching/latency counters (JSON)
+      GET    /metrics           -> same counters, Prometheus text format
       GET    /videos            -> {"videos": [ids...]}
       PUT    /videos/<id>       -> register clip features. Body: .npz bytes
                                    (key "features" or the first array) or
