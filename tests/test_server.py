@@ -406,6 +406,28 @@ def test_close_drains_inflight_requests():
     assert "top1_window" in results[0][1]
 
 
+def test_timed_out_request_is_abandoned_not_dispatched():
+    """A request whose waiter timed out must NOT be dispatched to the
+    device for nobody — the worker filters abandoned entries."""
+    import time as _time
+
+    from univtg_tpu.serve.server import MicroBatcher
+
+    pipe = _pipeline()
+    # long batching window so the request is still queued when we time out
+    batcher = MicroBatcher(pipe, max_batch=4, max_wait_ms=500.0)
+    pv = pipe.prepare_video(_rand_video(2, 8))
+    try:
+        with pytest.raises(TimeoutError):
+            batcher.submit(pv, _rand_query(2), 5, timeout_s=0.05)
+        _time.sleep(1.0)  # let the window elapse and the worker drain
+        with batcher._lock:
+            stats = dict(batcher.stats)
+        assert stats["batches"] == 0, "abandoned request was dispatched"
+    finally:
+        batcher.close()
+
+
 def test_video_store_lru_eviction():
     pipe = _pipeline()
     from univtg_tpu.serve.server import VideoStore
