@@ -1,0 +1,246 @@
+"""Pipeline parallelism (GPipe over the stacked encoder layers).
+
+The pipelined path (parallel/pipeline.py) must be numerically identical to
+the sequential scan stack in deterministic mode — forward AND gradients —
+because the stage body reuses EncoderLayer.apply verbatim. Checkpoint
+layout is the scan_layers layout (no conversion), so params initialized by
+either config are interchangeable.
+
+Beyond-parity capability: the reference has data parallelism only
+(/root/reference/main/train_vlp_ddp.py:215-275).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.models.encoder import Encoder
+from univtg_tpu.models.losses import LossWeights
+from univtg_tpu.parallel import (
+    make_mesh,
+    param_shardings,
+    replicate_params,
+    shard_batch,
+)
+from univtg_tpu.train.steps import init_state, make_optimizer, make_train_step
+
+DIM, LAYERS, HEADS, FFN = 32, 4, 4, 48
+ENC_KW = dict(dropout=0.0, droppath=0.0, scan_layers=True)
+
+
+@pytest.fixture(scope="module")
+def enc_setup():
+    seq = Encoder(DIM, LAYERS, HEADS, FFN, **ENC_KW)
+    B, T = 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, DIM))
+    kpm = jnp.ones((B, T)).at[:, 12:].set(0.0)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (B, T, DIM))
+    params = seq.init(jax.random.PRNGKey(2), x, kpm, pos, train=False)["params"]
+    ref = seq.apply({"params": params}, x, kpm, pos, train=False)
+    return seq, (x, kpm, pos), params, ref
+
+
+@pytest.mark.parametrize("pp,dp,n_micro", [(2, 2, 4), (4, 2, 4), (2, 1, 8)])
+def test_forward_matches_sequential(enc_setup, pp, dp, n_micro):
+    _, (x, kpm, pos), params, ref = enc_setup
+    pipe = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW,
+        pipeline_stages=pp, pipeline_microbatches=n_micro,
+    )
+    mesh = make_mesh(dp=dp, pp=pp, tp=1, devices=jax.devices()[: dp * pp])
+    params_s = jax.device_put(params, param_shardings(mesh, params))
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda p, x, m, q: pipe.apply({"params": p}, x, m, q, train=False)
+        )(params_s, x, kpm, pos)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_grads_match_sequential(enc_setup):
+    seq, (x, kpm, pos), params, _ = enc_setup
+    pipe = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW,
+        pipeline_stages=2, pipeline_microbatches=4,
+    )
+
+    def loss(mod):
+        return lambda p, xx: jnp.mean(
+            mod.apply({"params": p}, xx, kpm, pos, train=False) ** 2
+        )
+
+    g_ref, gx_ref = jax.grad(loss(seq), argnums=(0, 1))(params, x)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    params_s = jax.device_put(params, param_shardings(mesh, params))
+    with jax.set_mesh(mesh):
+        g, gx = jax.jit(jax.grad(loss(pipe), argnums=(0, 1)))(params_s, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        ),
+        jax.device_get(g),
+        jax.device_get(g_ref),
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), atol=2e-5, rtol=2e-4
+    )
+
+
+def _mr_batch(B, Lv, Lt, cfg):
+    rng = np.random.default_rng(0)
+    ts = np.tile(
+        ((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2)
+    ).astype(np.float32)
+    win = np.zeros((B, Lv), np.float32)
+    win[:, 3:8] = 1
+    nn_ = np.zeros((B, Lv, 2), np.float32)
+    nn_[:, :, 0], nn_[:, :, 1] = 3 / Lv, 8 / Lv
+    mi = {
+        "src_txt": rng.standard_normal((B, Lt, cfg.txt_dim)).astype(np.float32),
+        "src_txt_mask": np.ones((B, Lt), np.float32),
+        "src_vid": rng.standard_normal((B, Lv, cfg.vid_dim)).astype(np.float32),
+        "src_vid_mask": np.ones((B, Lv), np.float32),
+    }
+    tg = {
+        "timestamp": ts,
+        "timestamp_mask": np.ones((B, Lv), np.float32),
+        "timestamp_window": win,
+        "span_labels_nn": nn_,
+        "saliency_scores": rng.uniform(0, 1, (B, Lv)).astype(np.float32),
+        "saliency_pos_labels": np.full((B, 1), 4, np.int32),
+    }
+    return mi, tg
+
+
+_MODEL_KW = dict(
+    vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=4, num_heads=4,
+    ffn_dim=96, max_v_l=16, max_q_l=8, dropout=0.0, droppath=0.0,
+    input_dropout=0.0, scan_layers=True,
+)
+
+
+def test_full_model_train_step_matches_sequential():
+    """Three coupled optimizer steps: the dp x pp sharded training
+    trajectory equals the single-device one (dropout disabled so both
+    paths are deterministic given the same fold keys are unused)."""
+    cfg_seq = ModelConfig(**_MODEL_KW)
+    cfg_pp = ModelConfig(**_MODEL_KW, pipeline_stages=2, pipeline_microbatches=4)
+    mi, tg = _mr_batch(8, 16, 8, cfg_seq)
+    opt = make_optimizer(lambda s: 1e-4)
+
+    model = UniVTG(cfg_seq)
+    state = init_state(model, cfg_seq, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, LossWeights())
+    ref = []
+    for _ in range(3):
+        state, m = step(state, mi, tg, jax.random.PRNGKey(1))
+        ref.append(float(m["loss_overall"]))
+
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    model_pp = UniVTG(cfg_pp)
+    state2 = init_state(model_pp, cfg_pp, opt, jax.random.PRNGKey(0))
+    state2 = state2.replace(params=replicate_params(mesh, state2.params))
+    step_pp = make_train_step(model_pp, opt, LossWeights())
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    got = []
+    with jax.set_mesh(mesh):
+        for _ in range(3):
+            state2, m2 = step_pp(state2, smi, stg, jax.random.PRNGKey(1))
+            got.append(float(m2["loss_overall"]))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_train_mode_with_dropout_runs_and_learns():
+    """Dropout/droppath active: streams fold per (tick, stage, layer); the
+    loss must stay finite and decrease over a few steps (exact equality to
+    the sequential path is not expected — different RNG fold order)."""
+    kw = dict(_MODEL_KW, dropout=0.1, droppath=0.1, input_dropout=0.3)
+    cfg = ModelConfig(**kw, pipeline_stages=2, pipeline_microbatches=4)
+    mi, tg = _mr_batch(8, 16, 8, cfg)
+    opt = make_optimizer(lambda s: 5e-4)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    model = UniVTG(cfg)
+    state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    state = state.replace(params=replicate_params(mesh, state.params))
+    step = make_train_step(model, opt, LossWeights())
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    losses = []
+    with jax.set_mesh(mesh):
+        for i in range(4):
+            state, m = step(state, smi, stg, jax.random.PRNGKey(i))
+            losses.append(float(m["loss_overall"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+
+
+def test_off_mesh_fallback_warns_and_matches(enc_setup):
+    """A pipeline-configured encoder without an active pp mesh falls back
+    to the sequential scan (checkpoint portability to eval hosts)."""
+    _, (x, kpm, pos), params, ref = enc_setup
+    pipe = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW,
+        pipeline_stages=2, pipeline_microbatches=4,
+    )
+    with pytest.warns(UserWarning, match="pipeline_stages"):
+        out = pipe.apply({"params": params}, x, kpm, pos, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_validation_errors(enc_setup):
+    _, (x, kpm, pos), params, _ = enc_setup
+    with pytest.raises(ValueError, match="scan_layers"):
+        Encoder(
+            DIM, LAYERS, HEADS, FFN, dropout=0.0, droppath=0.0,
+            pipeline_stages=2,
+        ).apply({"params": params}, x, kpm, pos, train=False)
+
+    # batch must split into microbatches
+    pipe = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW,
+        pipeline_stages=2, pipeline_microbatches=3,
+    )
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh), pytest.raises(ValueError, match="microbatch"):
+        pipe.apply({"params": params}, x, kpm, pos, train=False)
+
+    # layer stack must tile over pp
+    pipe3 = Encoder(DIM, 3, HEADS, FFN, **ENC_KW, pipeline_stages=2)
+    x3 = jax.random.normal(jax.random.PRNGKey(0), (8, 16, DIM))
+    p3 = pipe3.init(jax.random.PRNGKey(2), x3, kpm, None, train=False)["params"]
+    with pytest.warns(UserWarning, match="pipeline_stages"):
+        # 3 layers over pp=2 -> pipeline_available is False -> fallback
+        with jax.set_mesh(mesh):
+            pipe3.apply({"params": p3}, x3, kpm, None, train=False)
+
+
+def test_pp_param_shardings_cover_all_stacked_leaves():
+    """Every leaf under encoder/layers/layer (matrices, biases, norms) must
+    be sharded P('pp', ...) on the layer axis when the mesh has pp > 1."""
+    cfg = ModelConfig(**_MODEL_KW, pipeline_stages=2)
+    model = UniVTG(cfg)
+    mi, _ = _mr_batch(4, 16, 8, cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        mi["src_txt"], mi["src_txt_mask"], mi["src_vid"], mi["src_vid_mask"],
+        train=False,
+    )["params"]
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    sh = param_shardings(mesh, params)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    n_stacked = 0
+    for path, named in flat:
+        keys = [getattr(p, "key", None) for p in path]
+        if "layers" in keys and "layer" in keys:
+            n_stacked += 1
+            assert named.spec[0] == "pp", (path, named.spec)
+        else:
+            assert "pp" not in jax.tree_util.tree_leaves(
+                [named.spec]
+            ), (path, named.spec)
+    assert n_stacked >= 10  # matrices + biases + both norms per layer

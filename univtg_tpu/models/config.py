@@ -54,6 +54,14 @@ class ModelConfig:
     # trace/compile time becomes O(1) in depth (see models/encoder.py);
     # checkpoints convert via encoder.stack_layer_params
     scan_layers: bool = False
+    # GPipe pipeline parallelism over the encoder layers: shard the stacked
+    # scan-layout layer axis over a "pp" mesh axis and stream microbatches
+    # stage-to-stage with ppermute (parallel/pipeline.py). Requires
+    # scan_layers=True and an active jax.set_mesh(make_mesh(..., pp=N));
+    # falls back to the sequential scan off-mesh (model.init, eval hosts).
+    pipeline_stages: int = 0
+    # microbatch count M (0 -> pipeline_stages); bubble = (pp-1)/(M+pp-1)
+    pipeline_microbatches: int = 0
 
     @property
     def dtype(self):

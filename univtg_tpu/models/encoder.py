@@ -153,11 +153,68 @@ class Encoder(nn.Module):
     seq_shard: bool = False
     remat: bool = False
     scan_layers: bool = False
+    # GPipe pipeline parallelism over the layer stack (needs scan_layers and
+    # an active mesh with a matching "pp" axis; parallel/pipeline.py). The
+    # param layout is IDENTICAL to scan_layers, so checkpoints interchange.
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0  # 0 -> defaults to pipeline_stages
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
         if self.seq_shard:
             from univtg_tpu.parallel.mesh import seq_constraint
+
+        if self.pipeline_stages > 1 and not self.scan_layers:
+            raise ValueError(
+                "pipeline_stages needs scan_layers=True (the pipeline "
+                "shards the stacked scan parameter layout over pp)"
+            )
+        if (
+            self.pipeline_stages > 1
+            and self.scan_layers
+            and not self.is_initializing()
+        ):
+            from univtg_tpu.parallel.pipeline import (
+                pipeline_available,
+                pipeline_layers,
+                warn_pipeline_fallback,
+            )
+
+            if pipeline_available(self.pipeline_stages, self.num_layers):
+                stacked = self.get_variable("params", "layers")["layer"]
+                layer = EncoderLayer(
+                    self.dim,
+                    self.num_heads,
+                    self.ffn_dim,
+                    self.dropout,
+                    self.droppath,
+                    self.pre_norm,
+                    self.attention_impl,
+                    self.dtype,
+                )
+                rng_d = rng_p = None
+                if train:
+                    if self.has_rng("dropout"):
+                        rng_d = self.make_rng("dropout")
+                    if self.has_rng("droppath"):
+                        rng_p = self.make_rng("droppath")
+                x = pipeline_layers(
+                    stacked,
+                    x,
+                    key_padding_mask,
+                    jnp.zeros_like(x) if pos is None else pos,
+                    layer=layer,
+                    n_micro=self.pipeline_microbatches or self.pipeline_stages,
+                    train=train,
+                    rng_dropout=rng_d,
+                    rng_droppath=rng_p,
+                )
+                if self.pre_norm:
+                    x = nn.LayerNorm(
+                        epsilon=LN_EPS, dtype=self.dtype, name="final_norm"
+                    )(x)
+                return x
+            warn_pipeline_fallback(self.pipeline_stages, self.num_layers)
 
         if self.scan_layers:
             unit = nn.remat(_ScanUnit) if self.remat else _ScanUnit

@@ -90,6 +90,8 @@ class UniVTG(nn.Module):
             cfg.seq_shard,
             cfg.remat,
             cfg.scan_layers,
+            pipeline_stages=cfg.pipeline_stages,
+            pipeline_microbatches=cfg.pipeline_microbatches,
             name="encoder",
         )(src, mask, pos, train=train)
         # Mask the conv heads at every layer: stacked k=3 convs have a +-3

@@ -5,3 +5,4 @@ from univtg_tpu.parallel.mesh import (  # noqa: F401
     replicate_tree,
     param_shardings,
 )
+from univtg_tpu.parallel.pipeline import pipeline_layers  # noqa: F401

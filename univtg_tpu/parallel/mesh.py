@@ -3,7 +3,7 @@
 SPMD strategy (replaces the reference's DDP/NCCL data parallelism,
 main/train_vlp_ddp.py:215-275):
 
-  * mesh axes ("dp", "tp"): batch is sharded over dp; the encoder's
+  * mesh axes ("dp", "pp", "tp"): batch is sharded over dp; the encoder's
     attention/FFN parameter matrices are sharded over tp (Megatron-style
     column->row pairing: in_proj/linear1 shard the output dim, out/linear2
     shard the input dim), so each tp pair needs a single all-reduce that XLA
@@ -50,25 +50,34 @@ def _select_slice_devices(devices, per_slice: int, slices: int):
 
 
 def make_mesh(
-    dp: Optional[int] = None, tp: int = 1, devices=None, slices: int = 1
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices=None,
+    slices: int = 1,
+    pp: int = 1,
 ) -> Mesh:
-    """(dp, tp) device mesh; ``slices > 1`` builds a multi-slice (DCN)
-    layout: devices are grouped by slice first, tp (and the dp minor) stay
-    WITHIN a slice so tensor-parallel all-reduces and sequence-parallel
-    all-gathers ride ICI, and only the dp-major gradient all-reduce crosses
-    the slower DCN links (the standard hybrid dp-over-DCN recipe). Axis
-    names stay ("dp", "tp"), so every sharding rule in this module works
-    unchanged on single- and multi-slice topologies."""
+    """(dp, pp, tp) device mesh; ``slices > 1`` builds a multi-slice (DCN)
+    layout: devices are grouped by slice first, tp/pp (and the dp minor)
+    stay WITHIN a slice so tensor-parallel all-reduces, sequence-parallel
+    all-gathers, and pipeline activation ppermutes ride ICI, and only the
+    dp-major gradient all-reduce crosses the slower DCN links (the standard
+    hybrid dp-over-DCN recipe). The "pp" axis (default size 1) drives
+    GPipe pipeline parallelism (parallel/pipeline.py); tp sits innermost
+    because its all-reduces are the heaviest collective. Every sharding
+    rule in this module works unchanged on single- and multi-slice
+    topologies."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp > n:
+        dp = n // (tp * pp)
+    if dp * tp * pp > n:
         raise ValueError(
-            f"mesh needs dp*tp = {dp}*{tp} = {dp * tp} devices but only {n} "
+            f"mesh needs dp*pp*tp = {dp}*{pp}*{tp} = {dp * tp * pp} devices "
+            f"but only {n} "
             f"are visible ({devices[0].platform if devices else 'none'}). "
-            f"Reduce dp/tp, or expose a virtual mesh with JAX_PLATFORMS=cpu "
-            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp}."
+            f"Reduce dp/pp/tp, or expose a virtual mesh with "
+            f"JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp * pp}."
         )
     if slices > 1:
         if dp % slices != 0:
@@ -76,7 +85,7 @@ def make_mesh(
                 f"dp={dp} must be a multiple of slices={slices}: the dp axis "
                 f"is laid out slice-major so each slice holds dp/slices rows"
             )
-        per_slice = (dp // slices) * tp
+        per_slice = (dp // slices) * tp * pp
         # group by the hardware slice when the runtime reports it (real
         # multi-slice TPU) BEFORE selecting dp*tp devices, so a config that
         # uses a subset of each slice's chips is still laid out one chunk
@@ -86,21 +95,21 @@ def make_mesh(
         if all(s is not None for s in slice_ids):
             devices = _select_slice_devices(devices, per_slice, slices)
         else:
-            devices = devices[: dp * tp]
+            devices = devices[: dp * tp * pp]
         for s in range(slices):
             chunk = devices[s * per_slice : (s + 1) * per_slice]
             ids = {i for i in (getattr(d, "slice_index", None) for d in chunk)}
             if len(ids) > 1:
                 raise ValueError(
                     f"slice chunk {s} spans hardware slices {sorted(ids)}: "
-                    f"tp={tp} x dp_local={dp // slices} does not fit in one "
-                    f"slice; tensor parallelism must not cross DCN"
+                    f"pp={pp} x tp={tp} x dp_local={dp // slices} does not "
+                    f"fit in one slice; model parallelism must not cross DCN"
                 )
-    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(grid, ("dp", "tp"))
+    grid = np.asarray(devices[: dp * tp * pp]).reshape(dp, pp, tp)
+    return Mesh(grid, ("dp", "pp", "tp"))
 
 
-# parameter-path regex -> PartitionSpec over ("dp", "tp") mesh
+# parameter-path regex -> PartitionSpec over the ("dp", "pp", "tp") mesh
 _TP_RULES = (
     (re.compile(r"encoder/layers_\d+/in_proj_kernel$"), P(None, "tp")),
     (re.compile(r"encoder/layers_\d+/in_proj_bias$"), P("tp")),
@@ -118,7 +127,16 @@ _TP_RULES = (
 )
 
 
-def _spec_for_path(path: str):
+# pipeline layout: EVERY leaf under the stacked scan subtree (matrices,
+# biases, norm scales) carries the layer axis first -> shard it over pp so
+# each stage holds only its own layers (parallel/pipeline.py consumes the
+# local slices through shard_map in_specs=P("pp"))
+_PP_SCAN_LEAF = re.compile(r"encoder/layers/layer/")
+
+
+def _spec_for_path(path: str, pp_active: bool = False):
+    if pp_active and _PP_SCAN_LEAF.search(path):
+        return P("pp")
     for rule, spec in _TP_RULES:
         if rule.search(path):
             return spec
@@ -126,15 +144,19 @@ def _spec_for_path(path: str):
 
 
 def param_shardings(mesh: Mesh, params):
-    """Pytree of NamedShardings: tp-sharded encoder matrices, rest replicated."""
+    """Pytree of NamedShardings: tp-sharded encoder matrices (or pp-sharded
+    stacked layers when the mesh has a pp axis > 1), rest replicated."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    pp_active = dict(mesh.shape).get("pp", 1) > 1
 
     def path_str(path):
         return "/".join(
             p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
         )
 
-    specs = {path_str(p): _spec_for_path(path_str(p)) for p, _ in flat}
+    specs = {
+        path_str(p): _spec_for_path(path_str(p), pp_active) for p, _ in flat
+    }
 
     def assign(path, leaf):
         return NamedSharding(mesh, specs[path_str(path)])
