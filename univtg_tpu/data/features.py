@@ -91,10 +91,17 @@ class FeatureSource:
         normalize: bool = True,
         h5_cache_path: Optional[str] = None,
         cache_keys: Optional[Sequence] = None,
+        native: Optional[bool] = None,
     ):
+        from univtg_tpu.native.reader import native_io_enabled
+
         self.feat_dir = feat_dir
         self.key = key
         self.normalize = normalize
+        # native C++ reader (zip parse + inflate + fused L2 norm, GIL-free):
+        # opt-in via UNIVTG_NATIVE_IO=1 or native=True; per-file fallback to
+        # the numpy path on anything the native reader rejects
+        self.native = native_io_enabled() if native is None else native
         self.cache = None
         if h5_cache_path and os.path.exists(h5_cache_path):
             import h5py
@@ -110,6 +117,13 @@ class FeatureSource:
         if self.cache is not None:
             return self.cache.get(str(fid))
         path = os.path.join(self.feat_dir, f"{fid}.npz")
+        if self.native and os.path.exists(path):
+            from univtg_tpu.native.reader import read_npz
+
+            feat = read_npz(path, key=self.key, normalize=self.normalize)
+            if feat is not None:
+                return feat
+            # fall through: numpy handles what the native reader rejected
         try:
             feat = np.load(path)[self.key].astype(np.float32)
         except (OSError, KeyError, ValueError):
