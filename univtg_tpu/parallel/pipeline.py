@@ -1,25 +1,45 @@
-"""GPipe-style pipeline parallelism over the encoder layer stack.
+"""Pipeline parallelism (GPipe + interleaved schedule) over the encoder stack.
 
 The scan-layers parameter layout (``encoder/layers/layer/*`` with a leading
 layer axis, models/encoder.py) is already the layout pipeline parallelism
 wants: shard that leading axis over a ``pp`` mesh axis so each device holds
-``num_layers / pp`` consecutive layers, split the batch into microbatches,
-and stream activations stage-to-stage with ``lax.ppermute``. Checkpoints
-are interchangeable with scan_layers — no conversion needed.
+``num_layers / pp`` layers, split the batch into microbatches, and stream
+activations stage-to-stage with ``lax.ppermute``. Checkpoints are
+interchangeable with scan_layers — no conversion needed.
 
-Execution model (classic GPipe schedule, expressed as one ``lax.scan`` over
-ticks inside a ``shard_map``):
+Execution model — one ``lax.scan`` over ticks inside a ``shard_map``. Two
+schedules, selected by ``interleave`` (= v):
 
-  tick t: stage ``s`` applies its local layers to microbatch ``t - s``
-          (stage 0 injects fresh microbatch ``t``), then ppermutes its
-          activation to stage ``s+1``. After ``M + pp - 1`` ticks all ``M``
-          microbatches have drained; the bubble fraction is
-          ``(pp-1)/(M+pp-1)``.
+**GPipe (v=1).** Stage ``s`` holds one contiguous chunk of ``L/pp`` layers.
+At tick ``t`` it applies its chunk to microbatch ``t - s`` (stage 0 injects
+fresh microbatch ``t``), then ppermutes the activation to stage ``s+1``.
+All ``M`` microbatches drain after ``M + pp - 1`` ticks; the bubble
+fraction is ``(pp-1)/(M+pp-1)`` of the wall-clock.
+
+**Interleaved / virtual stages (v>1).** The layer stack is cut into
+``pp*v`` chunks of ``L/(pp*v)`` layers; chunk ``c`` lives on device
+``c % pp``, so each device holds ``v`` non-contiguous chunks and a
+microbatch's activation loops the ring ``v`` times (Megatron-style virtual
+pipeline, forward schedule). Microbatch ``m`` runs chunk ``c`` at tick
+
+    t(m, c) = (m // pp) * pp * v  +  (m % pp)  +  c
+
+which satisfies the transfer dependency ``t(m, c+1) = t(m, c) + 1`` (so the
+single per-tick ring ppermute still delivers exactly the right activation)
+and provably schedules **at most one** chunk per device per tick, so one
+activation buffer per device suffices. Total ticks are
+``((M-1)//pp)*pp*v + (M-1)%pp + v*pp``; since a tick now costs only a
+1/v-stage of compute, the pipeline-fill bubble time shrinks by ``v``:
+``(pp-1) * t_stage / v`` vs GPipe's ``(pp-1) * t_stage`` (for ``M`` a
+multiple of ``pp``; the idle-tick fraction is ``(pp-1)/(M*v + pp - 1)``).
+The cost is ``v``x more ppermute hops of the same total byte volume, and a
+static layer-axis re-gather of the parameters (device-major chunk order)
+whose bytes are negligible next to a training step.
 
 The per-layer compute reuses ``EncoderLayer.apply`` verbatim (no forked
 layer math), so pipelined outputs are bit-identical to the sequential stack
-in deterministic mode. Differentiation is plain autodiff through
-``ppermute``/``scan`` — the backward pass runs the reverse schedule
+in deterministic mode for BOTH schedules. Differentiation is plain autodiff
+through ``ppermute``/``scan`` — the backward pass runs the reverse schedule
 automatically.
 
 The reference has no model-parallel story at all (DDP only,
@@ -34,21 +54,72 @@ import warnings
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 
-def pipeline_available(pipeline_stages: int, num_layers: int) -> bool:
+def pipeline_available(
+    pipeline_stages: int, num_layers: int, interleave: int = 1
+) -> bool:
     """True when an active mesh context carries a ``pp`` axis matching the
-    requested stage count and the layer stack tiles over it."""
+    requested stage count and the layer stack tiles over the
+    ``pp * interleave`` chunks."""
     if pipeline_stages <= 1:
         return False
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or not mesh.shape:
         return False
+    v = max(1, interleave)
     return (
         mesh.shape.get("pp", 1) == pipeline_stages
-        and num_layers % pipeline_stages == 0
+        and num_layers % (pipeline_stages * v) == 0
     )
+
+
+def pipeline_ticks(n_micro: int, pp: int, interleave: int = 1) -> int:
+    """Total schedule ticks: the last microbatch (M-1) finishes its last
+    chunk (v*pp - 1) at tick t(M-1, v*pp-1); +1 converts index to count."""
+    v = max(1, interleave)
+    return ((n_micro - 1) // pp) * pp * v + (n_micro - 1) % pp + v * pp
+
+
+def schedule_active(t, s, *, pp: int, v: int, n_micro: int):
+    """The (device ``s``, tick ``t``) -> (active?, chunk slot j, microbatch)
+    mapping shared by the kernel and the schedule tests.
+
+    Device ``s`` owns chunk slots ``j in [0, v)`` (global chunk
+    ``c = s + pp*j``). Slot ``j`` is active when ``t' = t - s - pp*j``
+    lands on a scheduled coordinate: ``t' >= 0``, the within-group offset
+    ``t' % (pp*v)`` names a microbatch row ``r < pp``, and the decoded
+    microbatch ``m = (t' // (pp*v)) * pp + r`` exists. At most one slot is
+    active per (s, t) (module docstring). Works on ints and traced jnp
+    scalars alike.
+    """
+    js = jnp.arange(v)
+    tj = t - s - pp * js
+    rem = tj % (pp * v)
+    mj = (tj // (pp * v)) * pp + rem
+    valid = (tj >= 0) & (rem < pp) & (mj < n_micro)
+    j_act = jnp.argmax(valid)
+    any_valid = jnp.any(valid)
+    m_act = jnp.clip(
+        jnp.where(any_valid, mj[j_act], 0), 0, n_micro - 1
+    )
+    return any_valid, j_act, m_act
+
+
+def interleave_permutation(num_layers: int, pp: int, v: int) -> np.ndarray:
+    """Layer-axis permutation to device-major chunk order: device ``s``'s
+    contiguous P('pp') shard becomes [chunk s, chunk s+pp, ..., chunk
+    s+(v-1)*pp], each chunk ``L/(pp*v)`` consecutive canonical layers."""
+    n_chunk = num_layers // (pp * v)
+    perm = [
+        (s + pp * j) * n_chunk + k
+        for s in range(pp)
+        for j in range(v)
+        for k in range(n_chunk)
+    ]
+    return np.asarray(perm, dtype=np.int32)
 
 
 def pipeline_layers(
@@ -63,12 +134,13 @@ def pipeline_layers(
     rng_dropout=None,
     rng_droppath=None,
     axis: str = "pp",
+    interleave: int = 1,
 ):
     """Run the stacked layer pytree as a ``pp``-stage pipeline over ``x``.
 
     Args:
       stacked_params: pytree with leading axis ``num_layers`` on every leaf
-        (the scan_layers ``layers/layer`` subtree).
+        (the scan_layers ``layers/layer`` subtree), canonical layer order.
       x: (B, T, D) token activations; B % n_micro == 0 and the microbatch
         size must tile over the mesh's dp axis.
       key_padding_mask: (B, T) float 1=valid.
@@ -76,9 +148,11 @@ def pipeline_layers(
       layer: an unbound EncoderLayer module (its ``.apply`` is the stage
         body — the exact same code the sequential stack runs).
       n_micro: number of microbatches M. Larger M shrinks the pipeline
-        bubble (pp-1)/(M+pp-1) at the cost of smaller per-stage matmuls.
+        bubble at the cost of smaller per-stage matmuls.
       train / rng_dropout / rng_droppath: dropout behavior; keys are folded
-        per (tick, stage, local-layer) so streams stay independent.
+        per (tick, stage, slot, local-layer) so streams stay independent.
+      interleave: virtual stages per device (v). v>1 runs the interleaved
+        schedule (module docstring): bubble time / v, v ring loops.
 
     Returns:
       (B, T, D) encoder output, replicated over ``pp`` (psum on the last
@@ -93,10 +167,12 @@ def pipeline_layers(
             f"'{axis}' axis (use parallel.make_mesh(..., pp=N))"
         )
     pp = mesh.shape[axis]
+    v = max(1, interleave)
     num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    if num_layers % pp != 0:
+    if num_layers % (pp * v) != 0:
         raise ValueError(
-            f"num_layers={num_layers} must tile over pp={pp} stages"
+            f"num_layers={num_layers} must tile over pp={pp} stages x "
+            f"interleave={v} chunks"
         )
     B, T, D = x.shape
     if B % n_micro != 0:
@@ -110,7 +186,17 @@ def pipeline_layers(
             f"microbatch size {mb} (= B {B} / n_micro {n_micro}) must tile "
             f"over dp={dp}; lower n_micro or raise the batch size"
         )
-    n_local = num_layers // pp
+    n_chunk = num_layers // (pp * v)
+
+    if v > 1:
+        # device-major chunk order so each device's contiguous P('pp')
+        # shard holds its v chunks back to back (slot-j-major); the gather
+        # is static, tiny next to step compute, and autodiff scatters
+        # gradients back to the canonical checkpoint layout.
+        perm = interleave_permutation(num_layers, pp, v)
+        stacked_params = jax.tree_util.tree_map(
+            lambda a: a[perm], stacked_params
+        )
 
     if rng_dropout is None:
         rng_dropout = jax.random.PRNGKey(0)
@@ -126,7 +212,8 @@ def pipeline_layers(
         _pipeline_stage_fn,
         layer=layer,
         pp=pp,
-        n_local=n_local,
+        v=v,
+        n_chunk=n_chunk,
         n_micro=n_micro,
         train=train,
         axis=axis,
@@ -144,24 +231,33 @@ def pipeline_layers(
 
 def _pipeline_stage_fn(
     params_stage, xm, km, pm, rng_dropout, rng_droppath,
-    *, layer, pp, n_local, n_micro, train, axis,
+    *, layer, pp, v, n_chunk, n_micro, train, axis,
 ):
-    """Per-device body: params_stage holds this stage's (n_local, ...) layer
-    slices; xm/km/pm hold the dp-local rows of ALL microbatches (masks and
-    positions are replicated over pp, so no mask needs to travel with the
-    activation — stage s just indexes microbatch t-s)."""
+    """Per-device body: params_stage holds this device's (v * n_chunk, ...)
+    layer slices in slot-major order; xm/km/pm hold the dp-local rows of
+    ALL microbatches (masks and positions are replicated over pp, so no
+    mask needs to travel with the activation — the schedule decodes which
+    microbatch sits here each tick)."""
     s = jax.lax.axis_index(axis)
     M = n_micro
 
-    def apply_local_layers(h, kmask, posb, tick):
+    def apply_chunk(h, kmask, posb, t, j_act):
+        p_chunk = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(
+                a, j_act * n_chunk, n_chunk, 0
+            ),
+            params_stage,
+        )
+
         def body(carry, inp):
-            p_layer, j = inp
+            p_layer, k = inp
             rngs = None
             if train:
-                # unique fold per (tick, stage, local layer): ticks reuse
-                # stages, so all three coordinates are needed for
-                # independent streams
-                base = tick * (pp * n_local) + s * n_local + j
+                # unique fold per (tick, stage, slot, local layer): ticks
+                # reuse (stage, slot), so all four coordinates are needed
+                # for independent streams. v=1, j_act=0 reduces to the
+                # GPipe fold t*(pp*n_chunk) + s*n_chunk + k.
+                base = ((t * pp + s) * v + j_act) * n_chunk + k
                 rngs = {
                     "dropout": jax.random.fold_in(rng_dropout, base),
                     "droppath": jax.random.fold_in(rng_droppath, base),
@@ -171,31 +267,31 @@ def _pipeline_stage_fn(
                 rngs=rngs,
             )
             return h, None
-        h, _ = jax.lax.scan(
-            body, h, (params_stage, jnp.arange(n_local))
-        )
+
+        h, _ = jax.lax.scan(body, h, (p_chunk, jnp.arange(n_chunk)))
         return h
 
     def tick(carry, t):
         buf, outs = carry
-        # stage 0 injects fresh microbatch t (clamped reads during the
-        # drain phase are never collected)
-        x_t = jax.lax.dynamic_index_in_dim(
-            xm, jnp.clip(t, 0, M - 1), 0, keepdims=False
-        )
-        h = jnp.where(s == 0, x_t, buf)
-        # the microbatch CURRENTLY at stage s is t - s
-        m_cur = jnp.clip(t - s, 0, M - 1)
-        kmask = jax.lax.dynamic_index_in_dim(km, m_cur, 0, keepdims=False)
-        posb = jax.lax.dynamic_index_in_dim(pm, m_cur, 0, keepdims=False)
-        h = apply_local_layers(h, kmask, posb, t)
+        active, j_act, m_act = schedule_active(t, s, pp=pp, v=v, n_micro=M)
+        x_t = jax.lax.dynamic_index_in_dim(xm, m_act, 0, keepdims=False)
+        # chunk 0 (slot 0 on device 0) takes fresh input; every other chunk
+        # consumes the ring buffer. Idle ticks run masked garbage whose
+        # result is never collected and never lands on an active slot
+        # (module docstring: the (s,t)->(s+1,t+1) slot map is a bijection).
+        inject = jnp.logical_and(s == 0, j_act == 0)
+        h = jnp.where(inject, x_t, buf)
+        kmask = jax.lax.dynamic_index_in_dim(km, m_act, 0, keepdims=False)
+        posb = jax.lax.dynamic_index_in_dim(pm, m_act, 0, keepdims=False)
+        h = apply_chunk(h, kmask, posb, t, j_act)
         buf_next = jax.lax.ppermute(
             h, axis, [(i, (i + 1) % pp) for i in range(pp)]
         )
-        out_idx = t - (pp - 1)
-        write = jnp.logical_and(s == pp - 1, out_idx >= 0)
+        # a microbatch completes when the LAST chunk (slot v-1 on the last
+        # device) finishes
+        write = active & (s == pp - 1) & (j_act == v - 1)
         upd = jax.lax.dynamic_update_index_in_dim(
-            outs, h.astype(outs.dtype), jnp.clip(out_idx, 0, M - 1), 0
+            outs, h.astype(outs.dtype), m_act, 0
         )
         outs = jnp.where(write, upd, outs)
         return (buf_next, outs), None
@@ -203,7 +299,7 @@ def _pipeline_stage_fn(
     buf0 = jnp.zeros(xm.shape[1:], xm.dtype)
     outs0 = jnp.zeros_like(xm)
     (_, outs), _ = jax.lax.scan(
-        tick, (buf0, outs0), jnp.arange(M + pp - 1)
+        tick, (buf0, outs0), jnp.arange(pipeline_ticks(M, pp, v))
     )
     # only the last stage holds real outputs; psum replicates them over pp
     return jax.lax.psum(
@@ -214,11 +310,13 @@ def _pipeline_stage_fn(
 _PIPELINE_FALLBACK_WARNED: set = set()
 
 
-def warn_pipeline_fallback(pipeline_stages: int, num_layers: int) -> None:
+def warn_pipeline_fallback(
+    pipeline_stages: int, num_layers: int, interleave: int = 1
+) -> None:
     """One-shot warning when a pipeline-configured encoder runs without an
     active pp mesh (model.init, off-mesh eval) and falls back to the
     sequential scan — same UX contract as the ring/seq_shard fallbacks."""
-    key = (pipeline_stages, num_layers)
+    key = (pipeline_stages, num_layers, interleave)
     if key in _PIPELINE_FALLBACK_WARNED:
         return
     _PIPELINE_FALLBACK_WARNED.add(key)
@@ -226,8 +324,9 @@ def warn_pipeline_fallback(pipeline_stages: int, num_layers: int) -> None:
     shape = dict(mesh.shape) if mesh is not None and mesh.shape else None
     warnings.warn(
         f"pipeline_stages={pipeline_stages} configured but no matching 'pp' "
-        f"mesh axis is active (mesh={shape}, num_layers={num_layers}); "
-        f"running the sequential scan instead. Activate with "
+        f"mesh axis is active or the {num_layers} layers do not tile over "
+        f"pp x interleave={interleave} chunks (mesh={shape}); running the "
+        f"sequential scan instead. Activate with "
         f"jax.set_mesh(make_mesh(..., pp={pipeline_stages})).",
         stacklevel=3,
     )
