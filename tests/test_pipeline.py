@@ -244,3 +244,390 @@ def test_pp_param_shardings_cover_all_stacked_leaves():
                 [named.spec]
             ), (path, named.spec)
     assert n_stacked >= 10  # matrices + biases + both norms per layer
+
+
+# ---------------------------------------------------------------------------
+# Interleaved schedule (v > 1)
+
+
+def _np_active_slots(t, s, pp, v, n_micro):
+    """Numpy mirror of the documented schedule formula (module docstring:
+    t(m, c) = (m//pp)*pp*v + m%pp + c, chunk c = s + pp*j): returns the list
+    of (slot j, microbatch m) active on device s at tick t."""
+    out = []
+    for j in range(v):
+        tj = t - s - pp * j
+        if tj < 0:
+            continue
+        rem = tj % (pp * v)
+        if rem >= pp:
+            continue
+        m = (tj // (pp * v)) * pp + rem
+        if m < n_micro:
+            out.append((j, m))
+    return out
+
+
+@pytest.mark.parametrize(
+    "pp,v,n_micro",
+    [(2, 2, 4), (2, 2, 1), (2, 2, 3), (2, 4, 8), (4, 2, 5), (4, 4, 13), (2, 3, 7)],
+)
+def test_schedule_invariants(pp, v, n_micro):
+    """Pure-schedule checks, no mesh: (a) at most ONE chunk runs per device
+    per tick (one activation buffer suffices); (b) every (microbatch, chunk)
+    pair runs exactly once, at t(m,c) = (m//pp)*pp*v + m%pp + c on device
+    c % pp -- so the transfer dependency t(m,c+1) = t(m,c)+1 holds and the
+    single per-tick ring ppermute delivers the right activation; (c)
+    pipeline_ticks() is exactly the last completion tick + 1; (d)
+    schedule_active (the traced kernel mapping) agrees with the formula."""
+    from univtg_tpu.parallel.pipeline import pipeline_ticks, schedule_active
+
+    ticks = pipeline_ticks(n_micro, pp, v)
+    seen = {}  # (m, global chunk c) -> tick
+    last_active_tick = -1
+    for t in range(ticks + pp * v):  # overshoot: nothing runs past `ticks`
+        for s in range(pp):
+            slots = _np_active_slots(t, s, pp, v, n_micro)
+            assert len(slots) <= 1, (t, s, slots)
+            active, j_act, m_act = (
+                np.asarray(x) for x in schedule_active(t, s, pp=pp, v=v, n_micro=n_micro)
+            )
+            assert bool(active) == bool(slots), (t, s, slots, active)
+            if slots:
+                j, m = slots[0]
+                assert (int(j_act), int(m_act)) == (j, m), (t, s, slots)
+                c = s + pp * j
+                assert (m, c) not in seen, (m, c)
+                seen[(m, c)] = t
+                # the documented closed form
+                assert t == (m // pp) * pp * v + m % pp + c, (t, s, m, c)
+                last_active_tick = max(last_active_tick, t)
+    assert len(seen) == n_micro * pp * v  # every chunk of every microbatch
+    for m in range(n_micro):
+        for c in range(pp * v - 1):
+            assert seen[(m, c + 1)] == seen[(m, c)] + 1  # ring dependency
+    assert last_active_tick + 1 == ticks
+
+
+@pytest.mark.parametrize(
+    "pp,dp,v,layers,n_micro,B",
+    [
+        (2, 2, 2, 4, 4, 8),   # canonical interleave
+        (2, 1, 2, 4, 1, 8),   # M < pp
+        (2, 1, 2, 4, 3, 6),   # M % pp != 0
+        (2, 2, 4, 8, 8, 16),  # v=4, deeper stack
+        (4, 2, 2, 8, 6, 12),  # 4 stages, M % pp != 0
+    ],
+)
+def test_interleaved_forward_matches_sequential(pp, dp, v, layers, n_micro, B):
+    seq = Encoder(DIM, layers, HEADS, FFN, **ENC_KW)
+    T = 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, DIM))
+    kpm = jnp.ones((B, T)).at[:, 12:].set(0.0)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (B, T, DIM))
+    params = seq.init(jax.random.PRNGKey(2), x, kpm, pos, train=False)["params"]
+    ref = seq.apply({"params": params}, x, kpm, pos, train=False)
+
+    pipe = Encoder(
+        DIM, layers, HEADS, FFN, **ENC_KW,
+        pipeline_stages=pp, pipeline_microbatches=n_micro,
+        pipeline_interleave=v,
+    )
+    mesh = make_mesh(dp=dp, pp=pp, tp=1, devices=jax.devices()[: dp * pp])
+    params_s = jax.device_put(params, param_shardings(mesh, params))
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda p, x, m, q: pipe.apply({"params": p}, x, m, q, train=False)
+        )(params_s, x, kpm, pos)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("v,layers", [(2, 4), (4, 8)])
+def test_interleaved_grads_match_sequential(v, layers):
+    seq = Encoder(DIM, layers, HEADS, FFN, **ENC_KW)
+    B, T = 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, DIM))
+    kpm = jnp.ones((B, T)).at[:, 12:].set(0.0)
+    pos = jax.random.normal(jax.random.PRNGKey(1), (B, T, DIM))
+    params = seq.init(jax.random.PRNGKey(2), x, kpm, pos, train=False)["params"]
+    pipe = Encoder(
+        DIM, layers, HEADS, FFN, **ENC_KW,
+        pipeline_stages=2, pipeline_microbatches=4, pipeline_interleave=v,
+    )
+
+    def loss(mod):
+        return lambda p, xx: jnp.mean(
+            mod.apply({"params": p}, xx, kpm, pos, train=False) ** 2
+        )
+
+    g_ref, gx_ref = jax.grad(loss(seq), argnums=(0, 1))(params, x)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    params_s = jax.device_put(params, param_shardings(mesh, params))
+    with jax.set_mesh(mesh):
+        g, gx = jax.jit(jax.grad(loss(pipe), argnums=(0, 1)))(params_s, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        ),
+        jax.device_get(g),
+        jax.device_get(g_ref),
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), atol=2e-5, rtol=2e-4
+    )
+
+
+def test_full_model_train_step_interleaved_matches_sequential():
+    """pipeline_interleave reaches the pipeline through ModelConfig -> UniVTG
+    -> Encoder (not just the raw pipeline_layers API): a 3-step coupled-SGD
+    trajectory on the interleaved schedule equals the sequential stack."""
+    cfg_seq = ModelConfig(**_MODEL_KW)
+    cfg_pp = ModelConfig(
+        **_MODEL_KW, pipeline_stages=2, pipeline_microbatches=4,
+        pipeline_interleave=2,
+    )
+    mi, tg = _mr_batch(8, 16, 8, cfg_seq)
+    opt = make_optimizer(lambda s: 1e-4)
+
+    model = UniVTG(cfg_seq)
+    state = init_state(model, cfg_seq, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, LossWeights())
+    ref = []
+    for _ in range(3):
+        state, m = step(state, mi, tg, jax.random.PRNGKey(1))
+        ref.append(float(m["loss_overall"]))
+
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    model_pp = UniVTG(cfg_pp)
+    state2 = init_state(model_pp, cfg_pp, opt, jax.random.PRNGKey(0))
+    state2 = state2.replace(params=replicate_params(mesh, state2.params))
+    step_pp = make_train_step(model_pp, opt, LossWeights())
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    got = []
+    with jax.set_mesh(mesh):
+        for _ in range(3):
+            state2, m2 = step_pp(state2, smi, stg, jax.random.PRNGKey(1))
+            got.append(float(m2["loss_overall"]))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pre-permuted (device-major) parameter layout
+
+
+def test_permute_pipeline_params_roundtrip():
+    from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+    tree = {
+        "encoder": {
+            "layers": {"layer": {
+                "w": jnp.arange(8 * 3).reshape(8, 3).astype(jnp.float32),
+                "b": jnp.arange(8).astype(jnp.float32),
+            }},
+            "other": jnp.arange(8.0),  # not under layers/layer: untouched
+        }
+    }
+    perm = permute_pipeline_params(tree, num_layers=8, pp=2, v=2)
+    # device-major chunk order: chunks [0,2,1,3] of 2 layers each
+    np.testing.assert_array_equal(
+        np.asarray(perm["encoder"]["layers"]["layer"]["b"]),
+        [0, 1, 4, 5, 2, 3, 6, 7],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(perm["encoder"]["other"]), np.arange(8.0)
+    )
+    back = permute_pipeline_params(perm, num_layers=8, pp=2, v=2, inverse=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        back, tree,
+    )
+
+
+def test_pre_permuted_forward_matches_and_off_mesh_raises(enc_setup):
+    from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+    _, (x, kpm, pos), params, ref = enc_setup
+    pipe = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW,
+        pipeline_stages=2, pipeline_microbatches=4,
+        pipeline_interleave=2, pipeline_pre_permuted=True,
+    )
+    params_dm = permute_pipeline_params(
+        {"layers": params["layers"]}, num_layers=LAYERS, pp=2, v=2
+    )
+    params_dm = dict(params, **params_dm)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    params_s = jax.device_put(params_dm, param_shardings(mesh, params_dm))
+    with jax.set_mesh(mesh):
+        out = jax.jit(
+            lambda p, x, m, q: pipe.apply({"params": p}, x, m, q, train=False)
+        )(params_s, x, kpm, pos)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+    # off-mesh the sequential fallback would apply layers out of order ->
+    # must refuse rather than silently return garbage
+    with pytest.raises(ValueError, match="device-major"):
+        pipe.apply({"params": params_dm}, x, kpm, pos, train=False)
+
+
+def test_pre_permuted_training_matches_plain_interleaved():
+    """Full model: a pre-permuted (device-major state) training trajectory
+    equals the plain interleaved one, and the final params convert back to
+    the canonical layout (what the checkpoint saves)."""
+    from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+    kw = dict(
+        _MODEL_KW, pipeline_stages=2, pipeline_microbatches=4,
+        pipeline_interleave=2,
+    )
+    cfg_plain = ModelConfig(**kw)
+    cfg_pre = ModelConfig(**kw, pipeline_pre_permuted=True)
+    mi, tg = _mr_batch(8, 16, 8, cfg_plain)
+    opt = make_optimizer(lambda s: 1e-4)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    L = cfg_plain.num_layers
+
+    def run(cfg, permute):
+        model = UniVTG(cfg)
+        state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+        if permute:
+            state = state.replace(
+                params=permute_pipeline_params(state.params, L, 2, 2),
+                opt_state=permute_pipeline_params(state.opt_state, L, 2, 2),
+            )
+        state = state.replace(params=replicate_params(mesh, state.params))
+        step = make_train_step(model, opt, LossWeights())
+        losses = []
+        with jax.set_mesh(mesh):
+            for _ in range(3):
+                state, m = step(state, smi, stg, jax.random.PRNGKey(1))
+                losses.append(float(m["loss_overall"]))
+        return losses, jax.device_get(state.params)
+
+    losses_plain, params_plain = run(cfg_plain, permute=False)
+    losses_pre, params_pre = run(cfg_pre, permute=True)
+    np.testing.assert_allclose(losses_pre, losses_plain, rtol=1e-6)
+    params_back = permute_pipeline_params(params_pre, L, 2, 2, inverse=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        ),
+        params_back, params_plain,
+    )
+
+
+def test_pipeline_remat_grads_match_sequential(enc_setup):
+    """remat=True reaches the pipeline tick body (jax.checkpoint around the
+    pure chunk compute): gradients are unchanged, only backward memory."""
+    seq, (x, kpm, pos), params, _ = enc_setup
+    pipe = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW, remat=True,
+        pipeline_stages=2, pipeline_microbatches=4, pipeline_interleave=2,
+    )
+
+    def loss(mod):
+        return lambda p, xx: jnp.mean(
+            mod.apply({"params": p}, xx, kpm, pos, train=False) ** 2
+        )
+
+    g_ref, gx_ref = jax.grad(loss(seq), argnums=(0, 1))(params, x)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    params_s = jax.device_put(params, param_shardings(mesh, params))
+    with jax.set_mesh(mesh):
+        g, gx = jax.jit(jax.grad(loss(pipe), argnums=(0, 1)))(params_s, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        ),
+        jax.device_get(g),
+        jax.device_get(g_ref),
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), atol=2e-5, rtol=2e-4
+    )
+
+
+def test_three_axis_mesh_dp_pp_tp_composes():
+    """(dp=2, pp=2, tp=2) on the virtual 8-device mesh: pipeline over the
+    encoder stack composes with tp sharding of the non-stacked params (the
+    multi-slice pod layout a deep-variant deployment would use). Trajectory
+    equals the single-device sequential run."""
+    cfg_seq = ModelConfig(**_MODEL_KW)
+    cfg_pp = ModelConfig(
+        **_MODEL_KW, pipeline_stages=2, pipeline_microbatches=4,
+        pipeline_interleave=2,
+    )
+    mi, tg = _mr_batch(8, 16, 8, cfg_seq)
+    opt = make_optimizer(lambda s: 1e-4)
+
+    model = UniVTG(cfg_seq)
+    state = init_state(model, cfg_seq, opt, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, LossWeights())
+    ref = []
+    for _ in range(3):
+        state, m = step(state, mi, tg, jax.random.PRNGKey(1))
+        ref.append(float(m["loss_overall"]))
+
+    mesh = make_mesh(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    model_pp = UniVTG(cfg_pp)
+    state2 = init_state(model_pp, cfg_pp, opt, jax.random.PRNGKey(0))
+    state2 = state2.replace(params=replicate_params(mesh, state2.params))
+    step_pp = make_train_step(model_pp, opt, LossWeights())
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    got = []
+    with jax.set_mesh(mesh):
+        for _ in range(3):
+            state2, m2 = step_pp(state2, smi, stg, jax.random.PRNGKey(1))
+            got.append(float(m2["loss_overall"]))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_pre_permuted_removes_per_step_layer_collectives():
+    """The device-major layout's whole point: with pre_permuted params the
+    compiled train step contains strictly fewer cross-device data movements
+    (the v>1 layer re-gather + its backward scatter-add disappear).
+    Measured on this config: collective-permute 155 -> 47, all-reduce
+    171 -> 122 (jax 0.9, 8 virtual CPU devices); the assertion is kept
+    directional so compiler-version drift doesn't break it."""
+    import re
+
+    from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+    kw = dict(
+        _MODEL_KW, pipeline_stages=2, pipeline_microbatches=4,
+        pipeline_interleave=2,
+    )
+    mi, tg = _mr_batch(8, 16, 8, ModelConfig(**kw))
+    opt = make_optimizer(lambda s: 1e-4)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+
+    def compiled_text(pre):
+        cfg = ModelConfig(**kw, pipeline_pre_permuted=pre)
+        model = UniVTG(cfg)
+        state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+        if pre:
+            state = state.replace(
+                params=permute_pipeline_params(state.params, 4, 2, 2),
+                opt_state=permute_pipeline_params(state.opt_state, 4, 2, 2),
+            )
+        state = state.replace(params=replicate_params(mesh, state.params))
+        step = make_train_step(model, opt, LossWeights())
+        with jax.set_mesh(mesh):
+            return (
+                jax.jit(step)
+                .lower(state, smi, stg, jax.random.PRNGKey(1))
+                .compile()
+                .as_text()
+            )
+
+    def count(txt, op):
+        return len(re.findall(op, txt))
+
+    plain, pre = compiled_text(False), compiled_text(True)
+    assert count(pre, "collective-permute") < count(plain, "collective-permute")
+    assert count(pre, "all-reduce") <= count(plain, "all-reduce")

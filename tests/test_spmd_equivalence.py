@@ -81,8 +81,8 @@ def test_multislice_mesh_layout():
     dp major crosses the chunk boundary (the DCN axis on real pods)."""
     mesh = make_mesh(dp=4, tp=2, slices=2)
     grid = np.asarray(mesh.devices)
-    assert grid.shape == (4, 2)
-    ids = np.vectorize(lambda d: d.id)(grid)
+    assert grid.shape == (4, 1, 2)  # ("dp", "pp", "tp") with pp=1
+    ids = np.vectorize(lambda d: d.id)(grid[:, 0, :])
     # chunk 0 = devices 0-3 in dp rows 0-1, chunk 1 = devices 4-7 in rows 2-3
     assert set(ids[:2].ravel()) == {0, 1, 2, 3}
     assert set(ids[2:].ravel()) == {4, 5, 6, 7}

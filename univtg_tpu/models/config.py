@@ -62,6 +62,18 @@ class ModelConfig:
     pipeline_stages: int = 0
     # microbatch count M (0 -> pipeline_stages); bubble = (pp-1)/(M+pp-1)
     pipeline_microbatches: int = 0
+    # virtual stages per device (v). v>1 runs the Megatron-style interleaved
+    # schedule: the layer stack is cut into pp*v chunks, chunk c on device
+    # c % pp, shrinking pipeline-fill bubble TIME by v at the cost of v*x
+    # more ppermute hops (parallel/pipeline.py module docstring). Requires
+    # num_layers % (pipeline_stages * v) == 0; ignored when pipeline is off.
+    pipeline_interleave: int = 1
+    # the training state stores the encoder's stacked layers in device-major
+    # chunk order (parallel.pipeline.permute_pipeline_params), making the
+    # v>1 pipeline path permutation-free per step. Checkpoints stay in
+    # canonical layer order -- the train driver converts at restore/save.
+    # Off-mesh execution with this flag set raises (models/encoder.py).
+    pipeline_pre_permuted: bool = False
 
     @property
     def dtype(self):

@@ -158,6 +158,11 @@ class Encoder(nn.Module):
     # param layout is IDENTICAL to scan_layers, so checkpoints interchange.
     pipeline_stages: int = 0
     pipeline_microbatches: int = 0  # 0 -> defaults to pipeline_stages
+    pipeline_interleave: int = 1  # virtual stages per device (v>1: interleaved)
+    # params are stored in device-major chunk order (permute_pipeline_params)
+    # so the v>1 path skips the per-step layer gather; the sequential
+    # fallback refuses to run (it would silently apply layers out of order)
+    pipeline_pre_permuted: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
@@ -180,7 +185,9 @@ class Encoder(nn.Module):
                 warn_pipeline_fallback,
             )
 
-            if pipeline_available(self.pipeline_stages, self.num_layers):
+            if pipeline_available(
+                self.pipeline_stages, self.num_layers, self.pipeline_interleave
+            ):
                 stacked = self.get_variable("params", "layers")["layer"]
                 layer = EncoderLayer(
                     self.dim,
@@ -208,13 +215,26 @@ class Encoder(nn.Module):
                     train=train,
                     rng_dropout=rng_d,
                     rng_droppath=rng_p,
+                    interleave=self.pipeline_interleave,
+                    pre_permuted=self.pipeline_pre_permuted,
+                    remat=self.remat,
                 )
                 if self.pre_norm:
                     x = nn.LayerNorm(
                         epsilon=LN_EPS, dtype=self.dtype, name="final_norm"
                     )(x)
                 return x
-            warn_pipeline_fallback(self.pipeline_stages, self.num_layers)
+            if self.pipeline_pre_permuted and self.pipeline_interleave > 1:
+                raise ValueError(
+                    "pipeline_pre_permuted params are stored in device-major "
+                    "chunk order; the sequential fallback would apply layers "
+                    "out of order. Activate the pp mesh, or convert the "
+                    "params back with parallel.pipeline.permute_pipeline_"
+                    "params(..., inverse=True) before running off-mesh."
+                )
+            warn_pipeline_fallback(
+                self.pipeline_stages, self.num_layers, self.pipeline_interleave
+            )
 
         if self.scan_layers:
             unit = nn.remat(_ScanUnit) if self.remat else _ScanUnit

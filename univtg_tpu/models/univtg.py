@@ -92,6 +92,8 @@ class UniVTG(nn.Module):
             cfg.scan_layers,
             pipeline_stages=cfg.pipeline_stages,
             pipeline_microbatches=cfg.pipeline_microbatches,
+            pipeline_interleave=cfg.pipeline_interleave,
+            pipeline_pre_permuted=cfg.pipeline_pre_permuted,
             name="encoder",
         )(src, mask, pos, train=train)
         # Mask the conv heads at every layer: stacked k=3 convs have a +-3

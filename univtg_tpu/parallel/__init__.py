@@ -5,4 +5,7 @@ from univtg_tpu.parallel.mesh import (  # noqa: F401
     replicate_tree,
     param_shardings,
 )
-from univtg_tpu.parallel.pipeline import pipeline_layers  # noqa: F401
+from univtg_tpu.parallel.pipeline import (  # noqa: F401
+    permute_pipeline_params,
+    pipeline_layers,
+)

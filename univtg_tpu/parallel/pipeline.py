@@ -37,8 +37,10 @@ static layer-axis re-gather of the parameters (device-major chunk order)
 whose bytes are negligible next to a training step.
 
 The per-layer compute reuses ``EncoderLayer.apply`` verbatim (no forked
-layer math), so pipelined outputs are bit-identical to the sequential stack
-in deterministic mode for BOTH schedules. Differentiation is plain autodiff
+layer math), so pipelined outputs are numerically equivalent to the
+sequential stack within float32 tolerance for BOTH schedules (microbatching
+changes XLA fusion boundaries, so results differ at the ~1e-6 level; the
+tests assert atol/rtol 1e-5). Differentiation is plain autodiff
 through ``ppermute``/``scan`` — the backward pass runs the reverse schedule
 automatically.
 
@@ -122,6 +124,52 @@ def interleave_permutation(num_layers: int, pp: int, v: int) -> np.ndarray:
     return np.asarray(perm, dtype=np.int32)
 
 
+def _is_stacked_layer_path(path) -> bool:
+    """True when a tree path crosses the encoder's stacked-layer subtree
+    (``.../layers/layer/...``) -- matches both the params tree and its
+    mirrors inside optimizer state (optax mu/nu copies)."""
+    keys = [getattr(p, "key", None) for p in path]
+    return any(
+        keys[i] == "layers" and keys[i + 1] == "layer"
+        for i in range(len(keys) - 1)
+    )
+
+
+def permute_pipeline_params(tree, num_layers: int, pp: int, v: int,
+                            inverse: bool = False):
+    """Convert every stacked-layer leaf in ``tree`` between canonical layer
+    order (the checkpoint / scan_layers layout) and device-major chunk order
+    (the in-memory layout the interleaved pipeline consumes).
+
+    Storing the training state pre-permuted makes the per-step pipeline path
+    permutation-free: without it, the ``v>1`` layer gather runs inside the
+    jitted step on P('pp')-sharded params and costs a cross-device re-gather
+    of the whole encoder stack every forward (plus a scatter-add in
+    backward). Elementwise optimizer updates (AdamW) commute with any fixed
+    permutation, so training dynamics are unchanged; apply to params AND
+    optimizer state together. ``inverse=True`` converts back (checkpoint
+    save, off-mesh eval). No-op when ``v <= 1``.
+    """
+    if v <= 1:
+        return tree
+    perm = interleave_permutation(num_layers, pp, v)
+    if inverse:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        perm = inv
+
+    def maybe(path, leaf):
+        if (
+            _is_stacked_layer_path(path)
+            and getattr(leaf, "ndim", 0) >= 1
+            and leaf.shape[0] == num_layers
+        ):
+            return leaf[perm]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(maybe, tree)
+
+
 def pipeline_layers(
     stacked_params,
     x,
@@ -135,12 +183,15 @@ def pipeline_layers(
     rng_droppath=None,
     axis: str = "pp",
     interleave: int = 1,
+    pre_permuted: bool = False,
+    remat: bool = False,
 ):
     """Run the stacked layer pytree as a ``pp``-stage pipeline over ``x``.
 
     Args:
       stacked_params: pytree with leading axis ``num_layers`` on every leaf
-        (the scan_layers ``layers/layer`` subtree), canonical layer order.
+        (the scan_layers ``layers/layer`` subtree), canonical layer order --
+        or device-major chunk order when ``pre_permuted=True``.
       x: (B, T, D) token activations; B % n_micro == 0 and the microbatch
         size must tile over the mesh's dp axis.
       key_padding_mask: (B, T) float 1=valid.
@@ -153,6 +204,15 @@ def pipeline_layers(
         per (tick, stage, slot, local-layer) so streams stay independent.
       interleave: virtual stages per device (v). v>1 runs the interleaved
         schedule (module docstring): bubble time / v, v ring loops.
+      pre_permuted: the caller already stores stacked_params in device-major
+        chunk order (permute_pipeline_params), so the per-step layer gather
+        is skipped -- the preferred layout for v>1 training (a per-step
+        cross-device re-gather of the whole stack otherwise).
+      remat: rematerialize the per-tick chunk compute in the backward pass
+        (jax.checkpoint around the pure layer body, collectives excluded):
+        the scan-over-ticks then stores only the (mb, T, D) carry per tick
+        instead of every attention/FFN intermediate -- the standard
+        activation-memory discipline for pipelined long-sequence training.
 
     Returns:
       (B, T, D) encoder output, replicated over ``pp`` (psum on the last
@@ -188,11 +248,13 @@ def pipeline_layers(
         )
     n_chunk = num_layers // (pp * v)
 
-    if v > 1:
+    if v > 1 and not pre_permuted:
         # device-major chunk order so each device's contiguous P('pp')
-        # shard holds its v chunks back to back (slot-j-major); the gather
-        # is static, tiny next to step compute, and autodiff scatters
-        # gradients back to the canonical checkpoint layout.
+        # shard holds its v chunks back to back (slot-j-major). On sharded
+        # params this gather is a per-step cross-device re-gather of the
+        # whole stack (+ a scatter-add in backward) -- prefer storing the
+        # state pre-permuted (permute_pipeline_params) and passing
+        # pre_permuted=True; autodiff then never sees a permutation.
         perm = interleave_permutation(num_layers, pp, v)
         stacked_params = jax.tree_util.tree_map(
             lambda a: a[perm], stacked_params
@@ -217,6 +279,7 @@ def pipeline_layers(
         n_micro=n_micro,
         train=train,
         axis=axis,
+        remat=remat,
     )
     spec_x = P(None, "dp", None, None)
     out = shard_map(
@@ -231,7 +294,7 @@ def pipeline_layers(
 
 def _pipeline_stage_fn(
     params_stage, xm, km, pm, rng_dropout, rng_droppath,
-    *, layer, pp, v, n_chunk, n_micro, train, axis,
+    *, layer, pp, v, n_chunk, n_micro, train, axis, remat=False,
 ):
     """Per-device body: params_stage holds this device's (v * n_chunk, ...)
     layer slices in slot-major order; xm/km/pm hold the dp-local rows of
@@ -270,6 +333,14 @@ def _pipeline_stage_fn(
 
         h, _ = jax.lax.scan(body, h, (p_chunk, jnp.arange(n_chunk)))
         return h
+
+    if remat:
+        # recompute the chunk's attention/FFN intermediates in backward from
+        # the (mb, T, D) carry; the ring ppermute stays OUTSIDE the
+        # checkpoint boundary so no collective is replayed
+        apply_chunk = jax.checkpoint(
+            apply_chunk, static_argnums=(), prevent_cse=False
+        )
 
     def tick(carry, t):
         buf, outs = carry

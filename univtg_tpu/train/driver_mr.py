@@ -83,6 +83,14 @@ class TrainConfig:
     seed: int = 2018
     dp: Optional[int] = None
     tp: int = 1
+    # pipeline-parallel stages: pp > 1 builds a (dp, pp, tp) mesh, activates
+    # it for the whole run (jax.set_mesh), and requires
+    # cfg.model.pipeline_stages == pp (+ scan_layers). With
+    # cfg.model.pipeline_interleave > 1 the driver stores the training state
+    # in device-major chunk order so the interleaved schedule is
+    # permutation-free per step; checkpoints stay in canonical layer order
+    # (converted at restore/save), so they load anywhere.
+    pp: int = 1
     num_io_threads: int = 8
     use_gates: bool = False  # per-sample loss gating (VLP multi-corpus)
     shard_index: int = 0  # per-host data shard (multi-process pretraining)
@@ -178,11 +186,43 @@ def train_mr(
     `resume_all` additionally restores optimizer state and continues from
     the saved epoch. resume='auto' picks up results_dir/model_latest.ckpt
     with resume_all semantics (elastic restart)."""
+    if cfg.pp <= 1:
+        return _train_mr_impl(cfg, resume, train_dataset, resume_all)
+    # Pipeline parallelism: the encoder's pipeline path discovers the mesh
+    # through the ambient set_mesh context (parallel/pipeline.py), so the
+    # whole run -- train steps, eval decodes, state gathers -- executes
+    # under it. Everything else (shard_batch, replicate_params) uses
+    # explicit NamedShardings and is unaffected.
+    if cfg.model_id == "moment_detr":
+        raise ValueError("pipeline parallelism supports model_id='univtg' only")
+    if cfg.model.pipeline_stages != cfg.pp:
+        raise ValueError(
+            f"cfg.pp={cfg.pp} requires cfg.model.pipeline_stages == pp "
+            f"(got {cfg.model.pipeline_stages})"
+        )
+    if cfg.model.pipeline_pre_permuted:
+        raise ValueError(
+            "pipeline_pre_permuted is an execution layout the driver manages "
+            "internally (checkpoints/opt.json stay canonical); leave it False"
+        )
+    mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp)
+    with jax.set_mesh(mesh):
+        return _train_mr_impl(cfg, resume, train_dataset, resume_all, mesh=mesh)
+
+
+def _train_mr_impl(
+    cfg: TrainConfig,
+    resume: Optional[str] = None,
+    train_dataset=None,
+    resume_all: bool = False,
+    mesh=None,
+) -> Tuple[dict, str]:
     os.makedirs(cfg.results_dir, exist_ok=True)
     train_ds = train_dataset if train_dataset is not None else MRDataset(cfg.train_data)
     eval_ds = MRDataset(cfg.eval_data) if cfg.eval_data else None
 
-    mesh = make_mesh(cfg.dp, cfg.tp)
+    if mesh is None:
+        mesh = make_mesh(cfg.dp, cfg.tp)
     dp_size = mesh.shape["dp"]
     assert cfg.bsz % dp_size == 0 and cfg.eval_bsz % dp_size == 0, (
         f"bsz ({cfg.bsz}) and eval_bsz ({cfg.eval_bsz}) must divide by the "
@@ -225,6 +265,34 @@ def train_mr(
     )
     steps_per_epoch = len(train_loader)
     model, optimizer, state = build_everything(cfg, steps_per_epoch)
+    # Interleaved pipeline (v>1): keep the training state in device-major
+    # chunk order so the per-step path is permutation-free (the in-step
+    # layer gather would re-shuffle the whole sharded encoder stack across
+    # devices every forward + a scatter-add in backward). Checkpoints and
+    # opt.json stay canonical -- converted at restore (below) and at every
+    # save (_to_canonical_state).
+    pre_permuted = cfg.pp > 1 and cfg.model.pipeline_interleave > 1
+    if pre_permuted:
+        from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+        model = UniVTG(
+            dataclasses.replace(cfg.model, pipeline_pre_permuted=True)
+        )
+
+    def _to_device_major(tree, inverse=False):
+        return permute_pipeline_params(
+            tree, cfg.model.num_layers, cfg.pp,
+            cfg.model.pipeline_interleave, inverse=inverse,
+        )
+
+    def _to_canonical_state(st):
+        if not pre_permuted:
+            return st
+        return st.replace(
+            params=_to_device_major(st.params, inverse=True),
+            opt_state=_to_device_major(st.opt_state, inverse=True),
+        )
+
     resume_epoch = None
     if resume == "auto":  # elastic restart: pick up the latest checkpoint
         latest = os.path.join(cfg.results_dir, "model_latest.ckpt")
@@ -237,6 +305,11 @@ def train_mr(
             state = state.replace(
                 params=ckpt.restore_params(resume, state.params)
             )
+    if pre_permuted:  # canonical (init or checkpoint) -> device-major
+        state = state.replace(
+            params=_to_device_major(state.params),
+            opt_state=_to_device_major(state.opt_state),
+        )
     state = state.replace(params=replicate_params(mesh, state.params))
     if jax.process_count() > 1:
         # every jit input must be a global array in multi-process SPMD
@@ -430,10 +503,11 @@ def train_mr(
                 score = metrics["brief"].get(f"{cfg.main_metric}-key")
                 if score is None:
                     score = metrics["brief"].get(cfg.main_metric)
-                save_ckpt(latest_path, host_state, epoch, cfg_json)
+                ckpt_state = _to_canonical_state(host_state)
+                save_ckpt(latest_path, ckpt_state, epoch, cfg_json)
                 if score is not None and score > best_score:
                     best_score, best_metrics, es_cnt = score, metrics, 0
-                    save_ckpt(best_path, host_state, epoch, cfg_json)
+                    save_ckpt(best_path, ckpt_state, epoch, cfg_json)
                 else:
                     es_cnt += 1
                     stop = 0 <= cfg.max_es_cnt <= es_cnt
@@ -453,7 +527,7 @@ def train_mr(
             if is_main:
                 save_ckpt(
                     os.path.join(cfg.results_dir, f"model_e{epoch:04d}.ckpt"),
-                    host_state,
+                    _to_canonical_state(host_state),
                     epoch,
                     cfg_json,
                 )
@@ -473,7 +547,10 @@ def train_mr(
     if need_final:
         host_state = _host_state(mesh, state)  # collective: all processes
         if cfg.shard_index == 0:
-            save_ckpt(best_path, host_state, cfg.n_epoch - 1, cfg_json)
+            save_ckpt(
+                best_path, _to_canonical_state(host_state),
+                cfg.n_epoch - 1, cfg_json,
+            )
     if saver is not None:
         saver.wait()  # files must exist before the caller reads them back
     if best_metrics is None:
