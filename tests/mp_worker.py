@@ -67,7 +67,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
     n_epoch = 2
     eval_epoch = 10  # no eval dataset in plain "train" mode
     fault_epoch = -1
-    if mode in ("evaltp", "elastic", "resume", "full4"):
+    if mode in ("evaltp", "elastic", "resume", "full4", "shardeval"):
         from univtg_tpu.data.mr import MRDataConfig
 
         eval_data = MRDataConfig(
@@ -86,6 +86,13 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         # global bucket PLAN across the gang: both ranks must derive the
         # same per-step pad targets from the shared metadata lengths
         length_buckets = (32, 48, a["max_clips"])
+    sharded_eval = False
+    if mode == "shardeval":
+        # every rank evaluates its stride-shard of the val set on its own
+        # local device, submissions allgathered, rank 0 merges + scores
+        # (driver_mr._eval_once_sharded)
+        sharded_eval = True
+        eval_epoch = 2  # evaluate on the final epoch
     if mode == "evaltp":
         # dp=2 x tp=2 over the 4 global devices; row-major device order
         # keeps each tp PAIR within one host (the production Megatron
@@ -119,6 +126,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         inject_fault_epoch=fault_epoch,
         inject_fault_rank=1,
         length_buckets=length_buckets,
+        sharded_eval=sharded_eval,
     )
 
 

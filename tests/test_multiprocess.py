@@ -335,3 +335,59 @@ def test_two_process_gang_with_length_buckets(corpus_meta, tmp_path):
         assert np.isfinite(l0["loss_overall"])
         assert l0["loss_overall"] == pytest.approx(l1["loss_overall"], rel=1e-6)
         assert l0["steps"] == l1["steps"] == 2  # 32 samples // (8*2) global
+
+
+@pytest.mark.slow
+def test_two_process_sharded_eval_matches_full_eval(corpus_meta, tmp_path):
+    """sharded_eval=True on a 2-process gang: each rank scores its stride
+    shard of the val set locally, the submissions are allgathered, and rank
+    0's merged metrics equal a full single-device evaluation of the SAME
+    checkpoint (the reference serializes all eval through rank 0,
+    train_vlp_ddp.py:127-195 -- this path cuts eval wall-clock by the
+    process count)."""
+    results = str(tmp_path / "mp_shardeval")
+    procs = _launch_gang(2, corpus_meta, results, mode="shardeval")
+    _wait_gang(procs)
+
+    # rank 0 merged BOTH ranks' shards: the persisted submission covers the
+    # whole val set (a broken gather would leave only rank 0's half)
+    preds_path = os.path.join(results, "p0", "latest_val_preds.jsonl")
+    rows = [json.loads(l) for l in open(preds_path)]
+    eval_log = os.path.join(results, "p0", "eval_log.jsonl")
+    lines = [json.loads(l) for l in open(eval_log)]
+    assert len(lines) == 1 and "MR-full-mAP-key" in lines[0]
+
+    # recompute the metrics from the saved checkpoint with a plain
+    # single-device full-set evaluation; the sharded gang must agree
+    import jax
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from mp_worker import build_cfg
+
+    from univtg_tpu.data.mr import MRDataset
+    from univtg_tpu.models import UniVTG
+    from univtg_tpu.train import checkpoint as ckpt
+    from univtg_tpu.train.driver_mr import (
+        _run_eval_shard,
+        evaluate_submission,
+    )
+    from univtg_tpu.train.steps import make_eval_step
+
+    meta = json.load(open(corpus_meta))
+    cfg = build_cfg(meta, str(tmp_path / "unused"), mode="shardeval")
+    eval_ds = MRDataset(cfg.eval_data)
+    assert len(rows) == len(eval_ds.data)
+    model = UniVTG(cfg.model)
+    # restore through the driver state template
+    from univtg_tpu.train.driver_mr import build_everything
+
+    _, _, state = build_everything(cfg, steps_per_epoch=3)
+    params = ckpt.restore_params(
+        os.path.join(results, "p0", "model_best.ckpt"), state.params
+    )
+    submission = _run_eval_shard(
+        cfg, model, params, eval_ds, make_eval_step(model, cfg.eval_mode)
+    )
+    want = evaluate_submission(submission, eval_ds.data)["brief"]
+    for key, val in want.items():
+        assert lines[0][key] == pytest.approx(val, rel=1e-6), (key, val)

@@ -631,3 +631,28 @@ def test_pre_permuted_removes_per_step_layer_collectives():
     plain, pre = compiled_text(False), compiled_text(True)
     assert count(pre, "collective-permute") < count(plain, "collective-permute")
     assert count(pre, "all-reduce") <= count(plain, "all-reduce")
+
+
+def test_permute_rejects_non_tiling_layer_count():
+    """A partial permutation would silently truncate/drop layers (e.g.
+    num_layers=4, pp=2, v=3 -> n_chunk=0 -> empty stack)."""
+    from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+    tree = {"layers": {"layer": {"b": jnp.arange(4.0)}}}
+    with pytest.raises(ValueError, match="tile over"):
+        permute_pipeline_params(tree, num_layers=4, pp=2, v=3)
+    with pytest.raises(ValueError, match="tile over"):
+        permute_pipeline_params(tree, num_layers=6, pp=2, v=2)
+
+
+def test_pre_permuted_refuses_sequential_even_without_pipeline(enc_setup):
+    """Device-major params fed to a NON-pipelined config (pipeline_stages=0,
+    e.g. an eval host built from a plain config) must refuse, not silently
+    apply layers out of order."""
+    _, (x, kpm, pos), params, _ = enc_setup
+    enc = Encoder(
+        DIM, LAYERS, HEADS, FFN, **ENC_KW,
+        pipeline_stages=0, pipeline_interleave=2, pipeline_pre_permuted=True,
+    )
+    with pytest.raises(ValueError, match="device-major"):
+        enc.apply({"params": params}, x, kpm, pos, train=False)

@@ -203,3 +203,33 @@ def test_train_pp_config_validation(corpus, tmp_path):
     cfg = make_cfg(corpus, str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="pipeline_stages"):
         train_mr(dataclasses.replace(cfg, pp=2, dp=4, tp=1))
+
+
+def test_train_pp_rejects_bad_tiling_and_batches(corpus, tmp_path):
+    """pp misconfigurations fail UP FRONT with named errors, not after
+    epochs of training (or as a silent layer drop)."""
+    import dataclasses
+
+    base = make_cfg(corpus, str(tmp_path / "bad2"))
+    pipe_model = dataclasses.replace(
+        base.model, num_layers=4, scan_layers=True,
+        pipeline_stages=2, pipeline_microbatches=4, pipeline_interleave=3,
+    )
+    with pytest.raises(ValueError, match="tile over"):
+        train_mr(dataclasses.replace(base, model=pipe_model, pp=2, dp=4, tp=1))
+
+    pipe_model = dataclasses.replace(pipe_model, pipeline_interleave=2)
+    # eval_bsz=8 / n_micro=4 = 2 rows per microbatch, does not tile over dp=4
+    with pytest.raises(ValueError, match="eval_bsz"):
+        train_mr(
+            dataclasses.replace(
+                base, model=pipe_model, pp=2, dp=4, tp=1, eval_bsz=8
+            )
+        )
+
+    with pytest.raises(ValueError, match="single-process"):
+        train_mr(
+            dataclasses.replace(
+                base, model=pipe_model, pp=2, dp=4, tp=1, num_shards=2
+            )
+        )

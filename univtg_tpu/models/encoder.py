@@ -224,16 +224,27 @@ class Encoder(nn.Module):
                         epsilon=LN_EPS, dtype=self.dtype, name="final_norm"
                     )(x)
                 return x
-            if self.pipeline_pre_permuted and self.pipeline_interleave > 1:
-                raise ValueError(
-                    "pipeline_pre_permuted params are stored in device-major "
-                    "chunk order; the sequential fallback would apply layers "
-                    "out of order. Activate the pp mesh, or convert the "
-                    "params back with parallel.pipeline.permute_pipeline_"
-                    "params(..., inverse=True) before running off-mesh."
-                )
             warn_pipeline_fallback(
                 self.pipeline_stages, self.num_layers, self.pipeline_interleave
+            )
+
+        # Device-major (pre-permuted) params are only meaningful to the
+        # interleaved pipeline path above; EVERY other execution (off-mesh
+        # fallback, but also a pipeline_stages<=1 config fed device-major
+        # params) would silently apply layers out of order. Init is exempt:
+        # it creates canonical params the driver permutes afterwards.
+        if (
+            self.pipeline_pre_permuted
+            and self.pipeline_interleave > 1
+            and not self.is_initializing()
+        ):
+            raise ValueError(
+                "pipeline_pre_permuted params are stored in device-major "
+                "chunk order; the sequential path would apply layers out of "
+                "order. Activate the pp mesh (pipeline_stages > 1 + "
+                "jax.set_mesh), or convert the params back with "
+                "parallel.pipeline.permute_pipeline_params(..., "
+                "inverse=True) before running off-mesh."
             )
 
         if self.scan_layers:

@@ -134,6 +134,14 @@ class TrainConfig:
     # synchronous, only the msgpack+write runs in the background. All writes
     # are atomic (temp + rename) either way.
     async_checkpoint: bool = True
+    # Multi-process gangs: spread in-training evaluation across ALL
+    # processes instead of the reference's rank-0-only eval
+    # (train_vlp_ddp.py:127-195). Each rank runs its stride-shard of the
+    # eval set on its own local device (host params are already replicated
+    # on every process by the checkpoint gather), the per-rank submissions
+    # are allgathered, and rank 0 merges + scores -- identical metrics,
+    # eval wall-clock / num_processes. No effect single-process.
+    sharded_eval: bool = False
 
 
 def _strip_meta(batch, transfer_dtype: str = "float32"):
@@ -205,7 +213,32 @@ def train_mr(
             "pipeline_pre_permuted is an execution layout the driver manages "
             "internally (checkpoints/opt.json stay canonical); leave it False"
         )
+    if cfg.num_shards > 1 or jax.process_count() > 1:
+        # rank-0-only _eval_once would emit the pipeline shard_map over the
+        # global multi-host mesh from a single process -- non-addressable
+        # devices / collective deadlock. Needs an SPMD eval path first.
+        raise ValueError(
+            "pipeline parallelism (pp > 1) is single-process for now; "
+            "combine pp with dp WITHIN one process, or use num_shards > 1 "
+            "with dp/tp only"
+        )
+    v = max(1, cfg.model.pipeline_interleave)
+    if cfg.model.num_layers % (cfg.pp * v) != 0:
+        raise ValueError(
+            f"num_layers={cfg.model.num_layers} must tile over pp={cfg.pp} "
+            f"stages x pipeline_interleave={v} chunks"
+        )
     mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp)
+    n_micro = cfg.model.pipeline_microbatches or cfg.pp
+    dp_size = mesh.shape["dp"]
+    for name, b in (("bsz", cfg.bsz), ("eval_bsz", cfg.eval_bsz)):
+        if b % n_micro != 0 or (b // n_micro) % dp_size != 0:
+            # caught up front: otherwise an eval-only shape error surfaces
+            # after eval_epoch epochs of training are already spent
+            raise ValueError(
+                f"{name}={b} must split into pipeline_microbatches="
+                f"{n_micro} microbatches that each tile over dp={dp_size}"
+            )
     with jax.set_mesh(mesh):
         return _train_mr_impl(cfg, resume, train_dataset, resume_all, mesh=mesh)
 
@@ -275,8 +308,13 @@ def _train_mr_impl(
     if pre_permuted:
         from univtg_tpu.parallel.pipeline import permute_pipeline_params
 
-        model = UniVTG(
-            dataclasses.replace(cfg.model, pipeline_pre_permuted=True)
+        model = build_model(
+            dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, pipeline_pre_permuted=True
+                ),
+            )
         )
 
     def _to_device_major(tree, inverse=False):
@@ -493,10 +531,17 @@ def _train_mr_impl(
             # checkpointing exactly like for eval); only rank 0 then runs
             # the actual evaluation and serializes the checkpoints.
             host_state = _host_state(mesh, state)
-            if is_main:
-                metrics = _eval_once(
+            metrics = None
+            if cfg.sharded_eval and jax.process_count() > 1:
+                # collective: every rank scores its shard, rank 0 merges
+                metrics = _eval_once_sharded(
                     cfg, model, host_state.params, eval_ds, eval_step, epoch
                 )
+            if is_main:
+                if metrics is None:
+                    metrics = _eval_once(
+                        cfg, model, host_state.params, eval_ds, eval_step, epoch
+                    )
                 eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
                 eval_log.flush()
                 tb.scalars(metrics["brief"], epoch, prefix="eval/")
@@ -586,7 +631,10 @@ def _host_state(mesh, state):
     )
 
 
-def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
+def _run_eval_shard(cfg, model, params, eval_ds, eval_step,
+                    shard_index=0, num_shards=1):
+    """Inference over one stride-shard of the eval set on the local
+    device(s); shard_index/num_shards default to the whole set."""
     eval_loader = Loader(
         eval_ds,
         cfg.eval_bsz,
@@ -595,8 +643,10 @@ def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
         ),
         shuffle=False,
         num_threads=cfg.num_io_threads,
+        shard_index=shard_index,
+        num_shards=num_shards,
     )
-    submission = run_inference(
+    return run_inference(
         model,
         params,
         eval_loader,
@@ -606,6 +656,11 @@ def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
         eval_step=eval_step,
         transfer_dtype=cfg.transfer_dtype_eval,
     )
+
+
+def _finish_eval(cfg, submission, eval_ds, epoch):
+    """Rank-0 tail shared by the single-rank and sharded eval paths: persist
+    predictions, score, optional NMS re-score, metrics json artifact."""
     sub_path = os.path.join(cfg.results_dir, "latest_val_preds.jsonl")
     save_jsonl(submission, sub_path)
     metrics = evaluate_submission(submission, eval_ds.data)
@@ -620,3 +675,54 @@ def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
     ) as f:
         json.dump(metrics, f, indent=1)
     return metrics
+
+
+def _eval_once(cfg, model, params, eval_ds, eval_step, epoch):
+    submission = _run_eval_shard(cfg, model, params, eval_ds, eval_step)
+    return _finish_eval(cfg, submission, eval_ds, epoch)
+
+
+def _allgather_bytes(blob: bytes):
+    """Gather one byte string from every process to ALL processes (a
+    COLLECTIVE -- every process must call it). Variable lengths are handled
+    by an explicit length gather + pad-to-max."""
+    from jax.experimental import multihost_utils
+
+    arr = np.frombuffer(blob, np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.asarray(len(arr), np.int64))
+    ).reshape(-1)
+    padded = np.zeros(int(lengths.max()), np.uint8)
+    padded[: len(arr)] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(len(lengths), -1)
+    return [gathered[i, : lengths[i]].tobytes() for i in range(len(lengths))]
+
+
+def _eval_once_sharded(cfg, model, params, eval_ds, eval_step, epoch):
+    """Multi-process eval: every rank scores its stride-shard of the eval
+    set on its own local device (params are host-replicated by the
+    _host_state gather), then the per-rank submissions are allgathered and
+    rank 0 merges them back into dataset order and computes metrics.
+
+    Beyond-reference: the reference evaluates on rank 0 only
+    (train_vlp_ddp.py:127-195), serializing the whole eval set through one
+    GPU while the rest idle. This path is a COLLECTIVE (the allgather) --
+    call it on every process; returns metrics on rank 0, None elsewhere."""
+    sub_local = _run_eval_shard(
+        cfg, model, params, eval_ds, eval_step,
+        shard_index=cfg.shard_index, num_shards=cfg.num_shards,
+    )
+    blobs = _allgather_bytes(json.dumps(sub_local).encode())
+    if cfg.shard_index != 0:
+        return None
+    by_qid = {}
+    for blob in blobs:
+        for row in json.loads(blob):
+            by_qid[row["qid"]] = row
+    # dataset order, exactly like the single-rank path writes it
+    submission = [by_qid[m["qid"]] for m in eval_ds.data if m["qid"] in by_qid]
+    assert len(submission) == len(by_qid), (
+        "sharded eval produced qids missing from the eval metadata"
+    )
+    return _finish_eval(cfg, submission, eval_ds, epoch)
