@@ -365,7 +365,6 @@ def test_two_process_sharded_eval_matches_full_eval(corpus_meta, tmp_path):
     from mp_worker import build_cfg
 
     from univtg_tpu.data.mr import MRDataset
-    from univtg_tpu.models import UniVTG
     from univtg_tpu.train import checkpoint as ckpt
     from univtg_tpu.train.driver_mr import (
         _run_eval_shard,
@@ -377,11 +376,11 @@ def test_two_process_sharded_eval_matches_full_eval(corpus_meta, tmp_path):
     cfg = build_cfg(meta, str(tmp_path / "unused"), mode="shardeval")
     eval_ds = MRDataset(cfg.eval_data)
     assert len(rows) == len(eval_ds.data)
-    model = UniVTG(cfg.model)
-    # restore through the driver state template
+    # restore through the driver state template (one model-construction
+    # path: build_everything -> build_model)
     from univtg_tpu.train.driver_mr import build_everything
 
-    _, _, state = build_everything(cfg, steps_per_epoch=3)
+    model, _, state = build_everything(cfg, steps_per_epoch=3)
     params = ckpt.restore_params(
         os.path.join(results, "p0", "model_best.ckpt"), state.params
     )

@@ -458,3 +458,112 @@ def test_ground_prepared_many_cross_video_equivalence():
             [w[2] for w in want["topk_windows"]],
             rtol=1e-6,
         )
+
+
+def _save_float_ckpt(path, params):
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes({"params": params}))
+
+
+def test_hot_reload_swaps_weights_and_rejects_bad_checkpoints(tmp_path):
+    """POST /reload: the server re-restores a checkpoint and hot-swaps the
+    pipeline weights (no restart, no recompile); responses change to the
+    new weights and match a fresh pipeline built from them. A missing or
+    architecture-mismatched checkpoint returns 400 and the old weights
+    keep serving."""
+    from flax import serialization
+
+    from univtg_tpu.serve.quantize import restore_serving_params
+
+    model = UniVTG(CFG)
+
+    def init_params(seed):
+        return model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, 8, CFG.txt_dim), np.float32),
+            np.ones((1, 8), np.float32),
+            np.zeros((1, 16, CFG.vid_dim), np.float32),
+            np.ones((1, 16), np.float32),
+            train=False,
+        )["params"]
+
+    params_a, params_b = init_params(0), init_params(7)
+    ckpt = str(tmp_path / "model_latest.ckpt")
+    _save_float_ckpt(ckpt, params_a)
+
+    pipe = GroundingPipeline(CFG, params_a, clip_len=2.0, buckets=[16, 32])
+    srv = GroundingServer(
+        pipe, port=0, max_batch=8, max_wait_ms=5.0,
+        param_loader=lambda p: restore_serving_params(p, params_a),
+        checkpoint_path=ckpt,
+    )
+    srv.start()
+    try:
+        vid = _rand_video(3, 12)
+        _request(srv, "/videos/v", data=_npz_bytes(vid), method="PUT")
+        q = _rand_query(3)
+        body = json.dumps({"video": "v", "query_feats": q.tolist()}).encode()
+        _, before = _request(srv, "/ground", data=body, method="POST")
+
+        # overwrite the checkpoint in place (what a trainer does) + reload
+        _save_float_ckpt(ckpt, params_b)
+        status, rep = _request(srv, "/reload", data=b"{}", method="POST")
+        assert status == 200 and rep["ok"] and rep["reload_count"] == 1
+
+        _, after = _request(srv, "/ground", data=body, method="POST")
+        assert before["saliency"] != after["saliency"]  # weights changed
+        want = GroundingPipeline(
+            CFG, params_b, clip_len=2.0, buckets=[16, 32]
+        ).ground_features(vid, q)
+        np.testing.assert_allclose(
+            after["saliency"], np.asarray(want["saliency"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            after["topk_windows"], np.asarray(want["topk_windows"]), atol=1e-5
+        )
+
+        # stats expose the reload
+        _, stats = _request(srv, "/stats")
+        assert stats["reload_count"] == 1 and stats["checkpoint"] == ckpt
+
+        # missing file -> 400, still serving the new weights
+        bad = json.dumps({"checkpoint": str(tmp_path / "nope.ckpt")}).encode()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(srv, "/reload", data=bad, method="POST")
+        assert ei.value.code == 400
+
+        # architecture mismatch -> 400, old weights untouched
+        wrong_cfg = ModelConfig(
+            vid_dim=34, txt_dim=16, hidden_dim=48, num_layers=1,
+            num_heads=2, ffn_dim=48, max_v_l=32, max_q_l=8,
+        )
+        wrong = UniVTG(wrong_cfg).init(
+            jax.random.PRNGKey(1),
+            np.zeros((1, 8, 16), np.float32),
+            np.ones((1, 8), np.float32),
+            np.zeros((1, 16, 34), np.float32),
+            np.ones((1, 16), np.float32),
+            train=False,
+        )["params"]
+        wrong_path = str(tmp_path / "wrong.ckpt")
+        _save_float_ckpt(wrong_path, wrong)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(
+                srv, "/reload",
+                data=json.dumps({"checkpoint": wrong_path}).encode(),
+                method="POST",
+            )
+        assert ei.value.code == 400
+        _, again = _request(srv, "/ground", data=body, method="POST")
+        np.testing.assert_allclose(again["saliency"], after["saliency"])
+    finally:
+        srv.close()
+
+
+def test_reload_disabled_without_loader(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _request(server, "/reload", data=b"{}", method="POST")
+    assert ei.value.code == 400
+    assert "param_loader" in json.loads(ei.value.read())["error"]

@@ -233,3 +233,29 @@ def test_train_pp_rejects_bad_tiling_and_batches(corpus, tmp_path):
                 base, model=pipe_model, pp=2, dp=4, tp=1, num_shards=2
             )
         )
+
+
+def test_eval_shard_covers_every_item_exactly_once():
+    """Stride shards must cover the whole eval set INCLUDING the remainder
+    (the Loader's training shards drop the tail for rank-uniform step
+    counts; evaluation must not)."""
+    from univtg_tpu.train.driver_mr import _EvalShard
+
+    class _DS(list):
+        pass
+
+    for n in (5, 6, 7, 13):
+        ds = _DS(range(n))
+        for num_shards in (1, 2, 3, 4):
+            got = []
+            for r in range(num_shards):
+                shard = _EvalShard(ds, r, num_shards)
+                got.extend(shard[i] for i in range(len(shard)))
+            assert sorted(got) == list(range(n)), (n, num_shards, got)
+
+
+def test_allgather_bytes_single_process_identity():
+    from univtg_tpu.train.driver_mr import _allgather_bytes
+
+    blob = b'{"qid": 1, "x": [1.5, 2.0]}'
+    assert _allgather_bytes(blob) == [blob]

@@ -249,6 +249,10 @@ def cmd_serve(args):
         pipe, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         request_timeout_s=args.request_timeout_s,
+        # POST /reload re-restores (default: the --resume path, which a
+        # trainer keeps atomically rewriting) and hot-swaps the weights
+        param_loader=lambda p: restore_serving_params(p, state.params),
+        checkpoint_path=args.resume,
     )
     if args.warmup is not None:
         if args.warmup == "default":

@@ -164,6 +164,25 @@ class Encoder(nn.Module):
     # fallback refuses to run (it would silently apply layers out of order)
     pipeline_pre_permuted: bool = False
 
+    def _refuse_device_major(self):
+        """Raise when pre-permuted (device-major) params would be run
+        through the sequential path (any non-pipeline execution would apply
+        layers out of order). Init is exempt: it CREATES canonical params
+        the driver permutes afterwards."""
+        if (
+            self.pipeline_pre_permuted
+            and self.pipeline_interleave > 1
+            and not self.is_initializing()
+        ):
+            raise ValueError(
+                "pipeline_pre_permuted params are stored in device-major "
+                "chunk order; the sequential path would apply layers out of "
+                "order. Activate the pp mesh (pipeline_stages > 1 + "
+                "jax.set_mesh), or convert the params back with "
+                "parallel.pipeline.permute_pipeline_params(..., "
+                "inverse=True) before running off-mesh."
+            )
+
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
         if self.seq_shard:
@@ -224,6 +243,9 @@ class Encoder(nn.Module):
                         epsilon=LN_EPS, dtype=self.dtype, name="final_norm"
                     )(x)
                 return x
+            # refuse BEFORE the fallback warning: warning "running the
+            # sequential scan instead" and then raising would contradict it
+            self._refuse_device_major()
             warn_pipeline_fallback(
                 self.pipeline_stages, self.num_layers, self.pipeline_interleave
             )
@@ -233,19 +255,7 @@ class Encoder(nn.Module):
         # fallback, but also a pipeline_stages<=1 config fed device-major
         # params) would silently apply layers out of order. Init is exempt:
         # it creates canonical params the driver permutes afterwards.
-        if (
-            self.pipeline_pre_permuted
-            and self.pipeline_interleave > 1
-            and not self.is_initializing()
-        ):
-            raise ValueError(
-                "pipeline_pre_permuted params are stored in device-major "
-                "chunk order; the sequential path would apply layers out of "
-                "order. Activate the pp mesh (pipeline_stages > 1 + "
-                "jax.set_mesh), or convert the params back with "
-                "parallel.pipeline.permute_pipeline_params(..., "
-                "inverse=True) before running off-mesh."
-            )
+        self._refuse_device_major()
 
         if self.scan_layers:
             unit = nn.remat(_ScanUnit) if self.remat else _ScanUnit

@@ -152,7 +152,7 @@ def permute_pipeline_params(tree, num_layers: int, pp: int, v: int,
     """
     if v <= 1:
         return tree
-    if pp < 1 or v < 1 or num_layers % (pp * v) != 0:
+    if pp < 1 or num_layers % (pp * v) != 0:
         raise ValueError(
             f"num_layers={num_layers} must tile over pp={pp} stages x "
             f"interleave={v} chunks (a partial permutation would silently "

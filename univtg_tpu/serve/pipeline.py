@@ -65,15 +65,8 @@ class GroundingPipeline:
         weight cast out of hot loops; docs/PERF.md "Serving param dtype").
         Use it to pack more models/videos per chip. None keeps checkpoint
         precision."""
-        if param_dtype is not None:
-            dt = jnp.dtype(param_dtype)
-            # jnp.issubdtype, not np: ml_dtypes bfloat16 is not an np float
-            # subtype, and a bf16 tree must still upcast to float32
-            params = jax.tree_util.tree_map(
-                lambda l: l.astype(dt)
-                if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating) else l,
-                params,
-            )
+        self.param_dtype = param_dtype
+        params = self._cast_param_dtype(params, param_dtype)
         self.cfg = cfg
         self.params = params
         self.clip_len = clip_len
@@ -92,6 +85,46 @@ class GroundingPipeline:
             return decode_dense_outputs(out, vid_mask, timestamp, eval_mode)
 
         self._fwd = jax.jit(fwd)
+
+    @staticmethod
+    def _cast_param_dtype(params, param_dtype):
+        if param_dtype is None:
+            return params
+        dt = jnp.dtype(param_dtype)
+        # jnp.issubdtype, not np: ml_dtypes bfloat16 is not an np float
+        # subtype, and a bf16 tree must still upcast to float32
+        return jax.tree_util.tree_map(
+            lambda l: l.astype(dt)
+            if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating) else l,
+            params,
+        )
+
+    def swap_params(self, params):
+        """Hot-swap the serving weights without restarting or recompiling.
+
+        Applies the same param_dtype cast the constructor did, then
+        validates tree structure, leaf shapes, AND leaf dtypes against the
+        currently-served params, so the existing jitted programs stay valid
+        — the swap is one Python attribute assignment, atomic under the
+        GIL; requests dispatched after it use the new weights, requests
+        already in flight finish on the old ones. Raises ValueError on any
+        mismatch and leaves the served params untouched."""
+        params = self._cast_param_dtype(params, self.param_dtype)
+        old_flat, old_def = jax.tree_util.tree_flatten(self.params)
+        new_flat, new_def = jax.tree_util.tree_flatten(params)
+        if old_def != new_def:
+            raise ValueError(
+                f"checkpoint param tree does not match the served model: "
+                f"{new_def} vs {old_def}"
+            )
+        for o, n in zip(old_flat, new_flat):
+            o, n = jnp.asarray(o), jnp.asarray(n)
+            if o.shape != n.shape or o.dtype != n.dtype:
+                raise ValueError(
+                    f"checkpoint leaf mismatch: got {n.shape}/{n.dtype}, "
+                    f"serving {o.shape}/{o.dtype}"
+                )
+        self.params = params
 
     def prepare_video(self, vid_feats: np.ndarray) -> PreparedVideo:
         """(T, Dv) clip features -> bucket-padded tensors. Servers cache the

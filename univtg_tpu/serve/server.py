@@ -215,6 +215,13 @@ class GroundingServer:
                                    "top_k": 5} or {"query": "text"} when the
                                    pipeline has a clip_encoder. Returns the
                                    grounding dict (saliency included).
+      POST   /reload            -> hot-swap the serving weights from
+                                   {"checkpoint": path} (default: the
+                                   startup checkpoint, typically the
+                                   model_latest.ckpt a trainer keeps
+                                   rewriting). No restart, no recompile; a
+                                   bad checkpoint leaves the old weights
+                                   serving (400).
     """
 
     def __init__(
@@ -227,12 +234,24 @@ class GroundingServer:
         max_videos: int = 64,
         request_timeout_s: float = 600.0,
         max_body_bytes: int = 512 * 1024 * 1024,
+        param_loader=None,
+        checkpoint_path: Optional[str] = None,
     ):
+        """param_loader(path) -> params tree enables POST /reload: the
+        server restores a (possibly rewritten-in-place) checkpoint and
+        hot-swaps the pipeline weights without restart or recompile
+        (GroundingPipeline.swap_params). checkpoint_path is the default
+        reload source -- typically the same --resume path a trainer keeps
+        overwriting with model_latest.ckpt."""
         self.pipeline = pipeline
         self.store = VideoStore(pipeline, max_videos)
         self.batcher = MicroBatcher(pipeline, max_batch, max_wait_ms,
                                     request_timeout_s)
         self.max_body_bytes = max_body_bytes
+        self.param_loader = param_loader
+        self.checkpoint_path = checkpoint_path
+        self.reload_count = 0
+        self._reload_lock = threading.Lock()
         self._inflight = 0
         self._inflight_lock = threading.Lock()
         service = self
@@ -288,6 +307,9 @@ class GroundingServer:
                     if lat:
                         s["latency_p50_ms"] = round(lat[len(lat) // 2], 3)
                         s["latency_p95_ms"] = round(lat[int(len(lat) * 0.95)], 3)
+                    s["reload_count"] = service.reload_count
+                    if service.checkpoint_path:
+                        s["checkpoint"] = service.checkpoint_path
                     self._reply(200, s)
                 elif self.path == "/metrics":
                     body = service._prometheus_metrics().encode()
@@ -333,6 +355,20 @@ class GroundingServer:
             def do_POST(self):
                 if self.path.startswith("/videos/"):
                     self.do_PUT()
+                    return
+                if self.path == "/reload":
+                    body = self._body_checked()
+                    if body is None:
+                        return
+                    try:
+                        req = json.loads(body or b"{}")
+                    except json.JSONDecodeError as e:
+                        self._reply(400, {"error": f"bad json: {e}"})
+                        return
+                    code, payload = service.reload_checkpoint(
+                        req.get("checkpoint")
+                    )
+                    self._reply(code, payload)
                     return
                 if self.path != "/ground":
                     self._body()  # drain: keep-alive clients reuse the socket
@@ -385,6 +421,38 @@ class GroundingServer:
 
         self._httpd = Server((host, port), Handler)
         self._serve_thread: Optional[threading.Thread] = None
+
+    def reload_checkpoint(self, path: Optional[str] = None):
+        """Hot-reload the serving weights from `path` (default: the
+        checkpoint the server started from). Returns (http_code, payload).
+
+        The load + validation happen BEFORE the swap, so a bad checkpoint
+        (missing file, wrong architecture, truncated write) leaves the old
+        weights serving and returns 400. The swap itself is one attribute
+        assignment; requests already dispatched finish on the old weights,
+        later ones use the new — no restart, no recompile (shapes/dtypes
+        are validated unchanged). Serialized under a lock so concurrent
+        reloads cannot interleave."""
+        if self.param_loader is None:
+            return 400, {"error": "server started without a param_loader; "
+                                  "reload is disabled"}
+        path = path or self.checkpoint_path
+        if not path:
+            return 400, {"error": "no checkpoint path: pass {\"checkpoint\": "
+                                  "...} or start with checkpoint_path"}
+        with self._reload_lock:
+            try:
+                params = self.param_loader(path)
+                self.pipeline.swap_params(params)
+            except FileNotFoundError:
+                return 400, {"error": f"checkpoint not found: {path}"}
+            except Exception as e:
+                return 400, {"error": f"reload failed, still serving the "
+                                      f"previous weights: {e}"}
+            self.reload_count += 1
+            self.checkpoint_path = path
+            return 200, {"ok": True, "checkpoint": path,
+                         "reload_count": self.reload_count}
 
     def _parse_features(self, body: bytes, content_type: str) -> np.ndarray:
         if "json" in content_type:

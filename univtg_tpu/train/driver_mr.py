@@ -251,6 +251,21 @@ def _train_mr_impl(
     mesh=None,
 ) -> Tuple[dict, str]:
     os.makedirs(cfg.results_dir, exist_ok=True)
+    if cfg.sharded_eval and jax.process_count() > 1:
+        # the shard/merge roles are keyed on shard_index/num_shards; they
+        # must BE the process identity or every rank evaluates the full set
+        # and every rank believes it is the merge rank (duplicate racing
+        # writes to results_dir)
+        if (
+            cfg.num_shards != jax.process_count()
+            or cfg.shard_index != jax.process_index()
+        ):
+            raise ValueError(
+                f"sharded_eval needs shard_index/num_shards == process "
+                f"identity (got {cfg.shard_index}/{cfg.num_shards}, process "
+                f"{jax.process_index()}/{jax.process_count()}); train_vlp "
+                f"sets these automatically"
+            )
     train_ds = train_dataset if train_dataset is not None else MRDataset(cfg.train_data)
     eval_ds = MRDataset(cfg.eval_data) if cfg.eval_data else None
 
@@ -631,20 +646,38 @@ def _host_state(mesh, state):
     )
 
 
+class _EvalShard:
+    """Stride-slice view of a dataset: items shard_index, shard_index+S,
+    ... INCLUDING the remainder (the Loader's own training shards drop the
+    tail so every rank sees equal step counts -- for evaluation every item
+    must be scored exactly once across the gang)."""
+
+    def __init__(self, ds, shard_index: int, num_shards: int):
+        self.ds = ds
+        self.idx = list(range(shard_index, len(ds), num_shards))
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __getitem__(self, i):
+        return self.ds[self.idx[i]]
+
+
 def _run_eval_shard(cfg, model, params, eval_ds, eval_step,
                     shard_index=0, num_shards=1):
     """Inference over one stride-shard of the eval set on the local
     device(s); shard_index/num_shards default to the whole set."""
+    ds = eval_ds
+    if num_shards > 1:
+        ds = _EvalShard(eval_ds, shard_index, num_shards)
     eval_loader = Loader(
-        eval_ds,
+        ds,
         cfg.eval_bsz,
         lambda items, pad_batch_to: collate_mr(
             items, cfg.eval_data.max_q_l, cfg.eval_data.max_v_l, pad_batch_to
         ),
         shuffle=False,
         num_threads=cfg.num_io_threads,
-        shard_index=shard_index,
-        num_shards=num_shards,
     )
     return run_inference(
         model,
@@ -720,9 +753,20 @@ def _eval_once_sharded(cfg, model, params, eval_ds, eval_step, epoch):
     for blob in blobs:
         for row in json.loads(blob):
             by_qid[row["qid"]] = row
-    # dataset order, exactly like the single-rank path writes it
+    # dataset order, exactly like the single-rank path writes it. Explicit
+    # raises (not asserts): these guard published metrics and checkpoint
+    # selection, and must survive python -O.
     submission = [by_qid[m["qid"]] for m in eval_ds.data if m["qid"] in by_qid]
-    assert len(submission) == len(by_qid), (
-        "sharded eval produced qids missing from the eval metadata"
-    )
+    if len(submission) != len(eval_ds.data):
+        missing = {m["qid"] for m in eval_ds.data} - set(by_qid)
+        raise RuntimeError(
+            f"sharded eval covered {len(submission)}/{len(eval_ds.data)} "
+            f"queries; {len(missing)} missing (e.g. {sorted(missing)[:5]}) "
+            f"-- a rank dropped part of its shard"
+        )
+    if len(submission) != len(by_qid):
+        raise RuntimeError(
+            "sharded eval gathered qids that do not exist in the eval "
+            "metadata -- shard views out of sync across the gang"
+        )
     return _finish_eval(cfg, submission, eval_ds, epoch)
