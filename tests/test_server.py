@@ -567,3 +567,74 @@ def test_reload_disabled_without_loader(server):
         _request(server, "/reload", data=b"{}", method="POST")
     assert ei.value.code == 400
     assert "param_loader" in json.loads(ei.value.read())["error"]
+
+
+def test_reload_rejects_non_string_checkpoint_and_honors_token(tmp_path):
+    """{"checkpoint": 3} must be rejected BEFORE reaching open() (an int is
+    an OS file descriptor there -- open(3).close() would shut the server's
+    own listening socket); a configured reload token gates the endpoint;
+    and a one-off checkpoint override does not become the new default."""
+    from flax import serialization
+
+    from univtg_tpu.serve.quantize import restore_serving_params
+
+    model = UniVTG(CFG)
+
+    def init_params(seed):
+        return model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, 8, CFG.txt_dim), np.float32),
+            np.ones((1, 8), np.float32),
+            np.zeros((1, 16, CFG.vid_dim), np.float32),
+            np.ones((1, 16), np.float32),
+            train=False,
+        )["params"]
+
+    params = init_params(0)
+    ckpt = str(tmp_path / "model_latest.ckpt")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes({"params": params}))
+    snap = str(tmp_path / "snapshot.ckpt")
+    with open(snap, "wb") as f:
+        f.write(serialization.to_bytes({"params": init_params(5)}))
+
+    pipe = GroundingPipeline(CFG, params, clip_len=2.0, buckets=[16, 32])
+    srv = GroundingServer(
+        pipe, port=0,
+        param_loader=lambda p: restore_serving_params(p, params),
+        checkpoint_path=ckpt,
+        reload_token="sekrit",
+    )
+    srv.start()
+    try:
+        tok = {"X-Reload-Token": "sekrit"}
+        # missing / wrong token -> 403
+        for headers in ({}, {"X-Reload-Token": "nope"}):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _request(srv, "/reload", data=b"{}", method="POST",
+                         headers=headers)
+            assert ei.value.code == 403
+
+        # int checkpoint -> 400 "must be a string", server still alive
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(srv, "/reload", data=b'{"checkpoint": 3}',
+                     method="POST", headers=tok)
+        assert ei.value.code == 400
+        assert "string" in json.loads(ei.value.read())["error"]
+        status, _ = _request(srv, "/healthz")
+        assert status == 200
+
+        # one-off override loads, but the DEFAULT stays the startup path
+        status, rep = _request(
+            srv, "/reload",
+            data=json.dumps({"checkpoint": snap}).encode(),
+            method="POST", headers=tok,
+        )
+        assert status == 200 and rep["checkpoint"] == snap
+        status, rep = _request(srv, "/reload", data=b"{}", method="POST",
+                               headers=tok)
+        assert status == 200 and rep["checkpoint"] == ckpt
+        _, stats = _request(srv, "/stats")
+        assert stats["checkpoint"] == ckpt and stats["reload_count"] == 2
+    finally:
+        srv.close()

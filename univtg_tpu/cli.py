@@ -253,6 +253,7 @@ def cmd_serve(args):
         # trainer keeps atomically rewriting) and hot-swaps the weights
         param_loader=lambda p: restore_serving_params(p, state.params),
         checkpoint_path=args.resume,
+        reload_token=args.reload_token,
     )
     if args.warmup is not None:
         if args.warmup == "default":
@@ -383,6 +384,9 @@ def build_parser():
     sp.add_argument("--request-timeout-s", type=float, default=600.0,
                     help="per-request wait cap; must cover a first-touch "
                          "jit compile of a new batch shape")
+    sp.add_argument("--reload-token", default=None,
+                    help="require this X-Reload-Token header on POST "
+                         "/reload (set it whenever --host is not local)")
     sp.add_argument("--param-dtype", default=None,
                     choices=[None, "bfloat16", "float32"],
                     help="cast weights at load; bfloat16 halves weight HBM "

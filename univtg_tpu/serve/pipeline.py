@@ -118,11 +118,16 @@ class GroundingPipeline:
                 f"{new_def} vs {old_def}"
             )
         for o, n in zip(old_flat, new_flat):
-            o, n = jnp.asarray(o), jnp.asarray(n)
-            if o.shape != n.shape or o.dtype != n.dtype:
+            # metadata-only comparison: numpy and jax leaves both expose
+            # .shape/.dtype -- never jnp.asarray here (it would device-put
+            # ~2x the full model per reload just to read metadata)
+            o_shape, n_shape = np.shape(o), np.shape(n)
+            o_dt = getattr(o, "dtype", None) or np.asarray(o).dtype
+            n_dt = getattr(n, "dtype", None) or np.asarray(n).dtype
+            if o_shape != n_shape or o_dt != n_dt:
                 raise ValueError(
-                    f"checkpoint leaf mismatch: got {n.shape}/{n.dtype}, "
-                    f"serving {o.shape}/{o.dtype}"
+                    f"checkpoint leaf mismatch: got {n_shape}/{n_dt}, "
+                    f"serving {o_shape}/{o_dt}"
                 )
         self.params = params
 

@@ -236,13 +236,18 @@ class GroundingServer:
         max_body_bytes: int = 512 * 1024 * 1024,
         param_loader=None,
         checkpoint_path: Optional[str] = None,
+        reload_token: Optional[str] = None,
     ):
         """param_loader(path) -> params tree enables POST /reload: the
         server restores a (possibly rewritten-in-place) checkpoint and
         hot-swaps the pipeline weights without restart or recompile
         (GroundingPipeline.swap_params). checkpoint_path is the default
         reload source -- typically the same --resume path a trainer keeps
-        overwriting with model_latest.ckpt."""
+        overwriting with model_latest.ckpt. reload_token (recommended
+        whenever the server binds beyond localhost) gates /reload behind an
+        X-Reload-Token header -- it swaps model behavior from a
+        client-chosen filesystem path, unlike the other mutating endpoints
+        which only touch the in-memory video store."""
         self.pipeline = pipeline
         self.store = VideoStore(pipeline, max_videos)
         self.batcher = MicroBatcher(pipeline, max_batch, max_wait_ms,
@@ -250,6 +255,8 @@ class GroundingServer:
         self.max_body_bytes = max_body_bytes
         self.param_loader = param_loader
         self.checkpoint_path = checkpoint_path
+        self.reload_token = reload_token
+        self.last_loaded_checkpoint = checkpoint_path
         self.reload_count = 0
         self._reload_lock = threading.Lock()
         self._inflight = 0
@@ -308,8 +315,8 @@ class GroundingServer:
                         s["latency_p50_ms"] = round(lat[len(lat) // 2], 3)
                         s["latency_p95_ms"] = round(lat[int(len(lat) * 0.95)], 3)
                     s["reload_count"] = service.reload_count
-                    if service.checkpoint_path:
-                        s["checkpoint"] = service.checkpoint_path
+                    if service.last_loaded_checkpoint:
+                        s["checkpoint"] = service.last_loaded_checkpoint
                     self._reply(200, s)
                 elif self.path == "/metrics":
                     body = service._prometheus_metrics().encode()
@@ -352,21 +359,35 @@ class GroundingServer:
                 else:
                     self._reply(404, {"error": f"unknown video {video_id}"})
 
+            def _json_body(self):
+                """Read + parse a JSON body; replies 413/400 and returns
+                None on failure (shared by /reload and /ground)."""
+                body = self._body_checked()
+                if body is None:
+                    return None
+                try:
+                    return json.loads(body or b"{}")
+                except json.JSONDecodeError as e:
+                    self._reply(400, {"error": f"bad json: {e}"})
+                    return None
+
             def do_POST(self):
                 if self.path.startswith("/videos/"):
                     self.do_PUT()
                     return
                 if self.path == "/reload":
-                    body = self._body_checked()
-                    if body is None:
+                    req = self._json_body()
+                    if req is None:
                         return
-                    try:
-                        req = json.loads(body or b"{}")
-                    except json.JSONDecodeError as e:
-                        self._reply(400, {"error": f"bad json: {e}"})
+                    if service.reload_token is not None and (
+                        self.headers.get("X-Reload-Token")
+                        != service.reload_token
+                    ):
+                        self._reply(403, {"error": "bad or missing "
+                                                   "X-Reload-Token"})
                         return
                     code, payload = service.reload_checkpoint(
-                        req.get("checkpoint")
+                        req.get("checkpoint") if isinstance(req, dict) else None
                     )
                     self._reply(code, payload)
                     return
@@ -374,13 +395,8 @@ class GroundingServer:
                     self._body()  # drain: keep-alive clients reuse the socket
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
-                body = self._body_checked()
-                if body is None:
-                    return
-                try:
-                    req = json.loads(body or b"{}")
-                except json.JSONDecodeError as e:
-                    self._reply(400, {"error": f"bad json: {e}"})
+                req = self._json_body()
+                if req is None:
                     return
                 try:
                     top_k = int(req.get("top_k", 5))
@@ -436,6 +452,10 @@ class GroundingServer:
         if self.param_loader is None:
             return 400, {"error": "server started without a param_loader; "
                                   "reload is disabled"}
+        if path is not None and not isinstance(path, str):
+            # open() treats an int as an OS file descriptor and CLOSES it
+            # on exit -- {"checkpoint": 3} would shut the listening socket
+            return 400, {"error": "checkpoint must be a string path"}
         path = path or self.checkpoint_path
         if not path:
             return 400, {"error": "no checkpoint path: pass {\"checkpoint\": "
@@ -450,7 +470,10 @@ class GroundingServer:
                 return 400, {"error": f"reload failed, still serving the "
                                       f"previous weights: {e}"}
             self.reload_count += 1
-            self.checkpoint_path = path
+            # a one-off override must NOT become the new default -- bare
+            # reloads keep following the startup checkpoint (the trainer's
+            # model_latest.ckpt); stats report what was actually loaded
+            self.last_loaded_checkpoint = path
             return 200, {"ok": True, "checkpoint": path,
                          "reload_count": self.reload_count}
 

@@ -747,15 +747,17 @@ def _eval_once_sharded(cfg, model, params, eval_ds, eval_step, epoch):
         shard_index=cfg.shard_index, num_shards=cfg.num_shards,
     )
     blobs = _allgather_bytes(json.dumps(sub_local).encode())
-    if cfg.shard_index != 0:
-        return None
+    # EVERY rank merges and validates: the gathered blobs are identical on
+    # all processes, so a coverage failure raises gang-wide as a clean
+    # crash -- a rank-0-only raise would leave the other ranks blocked
+    # forever in the next collective (the early-stop broadcast). Explicit
+    # raises (not asserts): these guard published metrics and checkpoint
+    # selection, and must survive python -O.
     by_qid = {}
     for blob in blobs:
         for row in json.loads(blob):
             by_qid[row["qid"]] = row
-    # dataset order, exactly like the single-rank path writes it. Explicit
-    # raises (not asserts): these guard published metrics and checkpoint
-    # selection, and must survive python -O.
+    # dataset order, exactly like the single-rank path writes it
     submission = [by_qid[m["qid"]] for m in eval_ds.data if m["qid"] in by_qid]
     if len(submission) != len(eval_ds.data):
         missing = {m["qid"] for m in eval_ds.data} - set(by_qid)
@@ -769,4 +771,6 @@ def _eval_once_sharded(cfg, model, params, eval_ds, eval_step, epoch):
             "sharded eval gathered qids that do not exist in the eval "
             "metadata -- shard views out of sync across the gang"
         )
+    if cfg.shard_index != 0:
+        return None
     return _finish_eval(cfg, submission, eval_ds, epoch)
