@@ -259,3 +259,22 @@ def test_allgather_bytes_single_process_identity():
 
     blob = b'{"qid": 1, "x": [1.5, 2.0]}'
     assert _allgather_bytes(blob) == [blob]
+
+
+def test_profile_dir_captures_device_trace(corpus, tmp_path):
+    """TrainConfig.profile_dir: the first profile_steps training steps of
+    the first epoch are captured as an XLA profiler trace (viewable in
+    TensorBoard/XProf); the run itself is unaffected. The reference has no
+    device profiler at all (SURVEY.md §5)."""
+    import dataclasses
+
+    prof = str(tmp_path / "prof")
+    cfg = dataclasses.replace(
+        make_cfg(corpus, str(tmp_path / "run")),
+        n_epoch=1, eval_epoch=5, profile_dir=prof, profile_steps=2,
+    )
+    train_mr(cfg)
+    captured = []
+    for root, _, files in os.walk(prof):
+        captured.extend(os.path.join(root, f) for f in files)
+    assert captured, f"no profiler artifacts under {prof}"

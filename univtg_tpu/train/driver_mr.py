@@ -134,6 +134,12 @@ class TrainConfig:
     # synchronous, only the msgpack+write runs in the background. All writes
     # are atomic (temp + rename) either way.
     async_checkpoint: bool = True
+    # XLA/TPU profiler capture: rank 0 traces the first `profile_steps`
+    # training steps of the first trained epoch into profile_dir (view in
+    # TensorBoard's profile plugin / XProf). "" = off. The reference has
+    # no device profiler at all (SURVEY.md §5: wall-clock meters only).
+    profile_dir: str = ""
+    profile_steps: int = 5
     # Multi-process gangs: spread in-training evaluation across ALL
     # processes instead of the reference's rank-0-only eval
     # (train_vlp_ddp.py:127-195). Each rank runs its stride-shard of the
@@ -451,10 +457,29 @@ def _train_mr_impl(
                         counts[k] = counts.get(k, 0) + int(arr.size)
                 pending_metrics.clear()
 
+            profiling = (
+                cfg.profile_dir
+                and cfg.profile_steps > 0
+                and cfg.shard_index == 0
+                and epoch == max(start_epoch, 0)
+            )
+            if profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+
+            def _stop_profile():
+                nonlocal profiling
+                if profiling:
+                    jax.profiler.stop_trace()
+                    logger.info(f"profiler trace written to {cfg.profile_dir}")
+                    profiling = False
+
             def record(metrics):
                 pending_metrics.append(metrics)
                 if len(pending_metrics) >= 512:
                     _flush_pending()
+                # n_steps counts dispatched steps (K per scan dispatch)
+                if profiling and n_steps >= cfg.profile_steps:
+                    _stop_profile()
 
             if scan_step is not None:
                 from univtg_tpu.train.steps import stack_batches
@@ -517,6 +542,7 @@ def _train_mr_impl(
                     n_steps += 1
                     record(metrics)
             dt = time.time() - t0
+            _stop_profile()  # short epoch: close the trace at epoch end
             # per-key counts: scan and single-step metrics can differ in key
             # sets (e.g. grad_norm is single-step only)
             _flush_pending()
