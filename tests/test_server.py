@@ -467,6 +467,17 @@ def _save_float_ckpt(path, params):
         f.write(serialization.to_bytes({"params": params}))
 
 
+def _init_cfg_params(seed):
+    return UniVTG(CFG).init(
+        jax.random.PRNGKey(seed),
+        np.zeros((1, 8, CFG.txt_dim), np.float32),
+        np.ones((1, 8), np.float32),
+        np.zeros((1, 16, CFG.vid_dim), np.float32),
+        np.ones((1, 16), np.float32),
+        train=False,
+    )["params"]
+
+
 def test_hot_reload_swaps_weights_and_rejects_bad_checkpoints(tmp_path):
     """POST /reload: the server re-restores a checkpoint and hot-swaps the
     pipeline weights (no restart, no recompile); responses change to the
@@ -477,19 +488,7 @@ def test_hot_reload_swaps_weights_and_rejects_bad_checkpoints(tmp_path):
 
     from univtg_tpu.serve.quantize import restore_serving_params
 
-    model = UniVTG(CFG)
-
-    def init_params(seed):
-        return model.init(
-            jax.random.PRNGKey(seed),
-            np.zeros((1, 8, CFG.txt_dim), np.float32),
-            np.ones((1, 8), np.float32),
-            np.zeros((1, 16, CFG.vid_dim), np.float32),
-            np.ones((1, 16), np.float32),
-            train=False,
-        )["params"]
-
-    params_a, params_b = init_params(0), init_params(7)
+    params_a, params_b = _init_cfg_params(0), _init_cfg_params(7)
     ckpt = str(tmp_path / "model_latest.ckpt")
     _save_float_ckpt(ckpt, params_a)
 
@@ -574,29 +573,13 @@ def test_reload_rejects_non_string_checkpoint_and_honors_token(tmp_path):
     an OS file descriptor there -- open(3).close() would shut the server's
     own listening socket); a configured reload token gates the endpoint;
     and a one-off checkpoint override does not become the new default."""
-    from flax import serialization
-
     from univtg_tpu.serve.quantize import restore_serving_params
 
-    model = UniVTG(CFG)
-
-    def init_params(seed):
-        return model.init(
-            jax.random.PRNGKey(seed),
-            np.zeros((1, 8, CFG.txt_dim), np.float32),
-            np.ones((1, 8), np.float32),
-            np.zeros((1, 16, CFG.vid_dim), np.float32),
-            np.ones((1, 16), np.float32),
-            train=False,
-        )["params"]
-
-    params = init_params(0)
+    params = _init_cfg_params(0)
     ckpt = str(tmp_path / "model_latest.ckpt")
-    with open(ckpt, "wb") as f:
-        f.write(serialization.to_bytes({"params": params}))
+    _save_float_ckpt(ckpt, params)
     snap = str(tmp_path / "snapshot.ckpt")
-    with open(snap, "wb") as f:
-        f.write(serialization.to_bytes({"params": init_params(5)}))
+    _save_float_ckpt(snap, _init_cfg_params(5))
 
     pipe = GroundingPipeline(CFG, params, clip_len=2.0, buckets=[16, 32])
     srv = GroundingServer(
@@ -638,3 +621,12 @@ def test_reload_rejects_non_string_checkpoint_and_honors_token(tmp_path):
         assert stats["checkpoint"] == ckpt and stats["reload_count"] == 2
     finally:
         srv.close()
+
+
+def test_json_null_body_gets_a_response(server):
+    """A body of valid JSON `null` must produce an HTTP error response,
+    not a silent no-reply that leaves the keep-alive client hanging."""
+    for path in ("/ground", "/reload"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(server, path, data=b"null", method="POST")
+        assert ei.value.code == 400

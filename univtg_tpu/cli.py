@@ -245,13 +245,26 @@ def cmd_serve(args):
         cfg.model, params, clip_encoder=clip_encoder, eval_mode=cfg.eval_mode,
         param_dtype=args.param_dtype,
     )
+    # POST /reload re-restores (default: the --resume path, which a trainer
+    # keeps atomically rewriting) and hot-swaps the weights. It takes a
+    # client-chosen filesystem path, so on a NON-local bind it stays
+    # disabled unless --reload-token gates it -- relying on operators
+    # reading help text is not a security posture.
+    local_hosts = ("127.0.0.1", "localhost", "::1")
+    reload_ok = args.host in local_hosts or args.reload_token is not None
+    if not reload_ok:
+        print(
+            f"note: /reload disabled (host {args.host} is non-local and no "
+            f"--reload-token was given)"
+        )
     server = GroundingServer(
         pipe, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         request_timeout_s=args.request_timeout_s,
-        # POST /reload re-restores (default: the --resume path, which a
-        # trainer keeps atomically rewriting) and hot-swaps the weights
-        param_loader=lambda p: restore_serving_params(p, state.params),
+        param_loader=(
+            (lambda p: restore_serving_params(p, state.params))
+            if reload_ok else None
+        ),
         checkpoint_path=args.resume,
         reload_token=args.reload_token,
     )

@@ -360,34 +360,47 @@ class GroundingServer:
                     self._reply(404, {"error": f"unknown video {video_id}"})
 
             def _json_body(self):
-                """Read + parse a JSON body; replies 413/400 and returns
-                None on failure (shared by /reload and /ground)."""
+                """Read + parse a JSON-object body; replies 413/400 and
+                returns None AFTER replying on any failure (shared by
+                /reload and /ground). `None` therefore always means 'a
+                response was already sent' -- a bare `null` body is
+                rejected as 400 rather than returned (which would leave the
+                keep-alive client hanging with no response at all)."""
                 body = self._body_checked()
                 if body is None:
                     return None
                 try:
-                    return json.loads(body or b"{}")
+                    obj = json.loads(body or b"{}")
                 except json.JSONDecodeError as e:
                     self._reply(400, {"error": f"bad json: {e}"})
                     return None
+                if not isinstance(obj, dict):
+                    self._reply(400, {"error": "body must be a JSON object"})
+                    return None
+                return obj
 
             def do_POST(self):
                 if self.path.startswith("/videos/"):
                     self.do_PUT()
                     return
                 if self.path == "/reload":
-                    req = self._json_body()
-                    if req is None:
-                        return
+                    # auth BEFORE touching the body: an unauthenticated
+                    # client must not be able to make the server read and
+                    # parse a near-cap body (pre-auth memory/CPU burn).
+                    # Closing the connection skips the body drain safely.
                     if service.reload_token is not None and (
                         self.headers.get("X-Reload-Token")
                         != service.reload_token
                     ):
+                        self.close_connection = True
                         self._reply(403, {"error": "bad or missing "
                                                    "X-Reload-Token"})
                         return
+                    req = self._json_body()
+                    if req is None:
+                        return
                     code, payload = service.reload_checkpoint(
-                        req.get("checkpoint") if isinstance(req, dict) else None
+                        req.get("checkpoint")
                     )
                     self._reply(code, payload)
                     return

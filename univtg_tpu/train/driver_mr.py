@@ -479,6 +479,11 @@ def _train_mr_impl(
                     _flush_pending()
                 # n_steps counts dispatched steps (K per scan dispatch)
                 if profiling and n_steps >= cfg.profile_steps:
+                    # steps are dispatched asynchronously: without this
+                    # barrier the trace would stop while the device is
+                    # still executing them, recording dispatch gaps
+                    # instead of the promised N steps of device work
+                    jax.block_until_ready(metrics)
                     _stop_profile()
 
             if scan_step is not None:
@@ -542,10 +547,10 @@ def _train_mr_impl(
                     n_steps += 1
                     record(metrics)
             dt = time.time() - t0
-            _stop_profile()  # short epoch: close the trace at epoch end
             # per-key counts: scan and single-step metrics can differ in key
             # sets (e.g. grad_norm is single-step only)
-            _flush_pending()
+            _flush_pending()  # device_get barrier: dispatched steps finish
+            _stop_profile()  # short epoch: close the trace at epoch end
             line = {
                 "epoch": epoch,
                 "time": dt,
