@@ -1,0 +1,281 @@
+"""True 1F1B pipelined training (parallel/pipeline_1f1b.py).
+
+The engine produces gradients with per-chunk jax.vjp inside a single scan
+(no autodiff across ticks), so the tests pin it against plain autodiff of
+the SAME loss definition: the mean of per-(microbatch x dp-shard) block
+losses (the reference's DDP locality, main/train_vlp_ddp.py:272-275 --
+each worker computes its criterion over local rows).
+
+Beyond-parity capability: the reference has data parallelism only.
+"""
+import jax
+import numpy as np
+import optax
+import pytest
+
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.models.losses import LossWeights, compute_losses
+from univtg_tpu.parallel import make_mesh, param_shardings, shard_batch
+from univtg_tpu.parallel.pipeline_1f1b import (
+    pipeline_1f1b_ticks,
+    schedule_1f1b,
+)
+from univtg_tpu.train.steps import forward, init_state, make_optimizer
+from univtg_tpu.train.steps_1f1b import make_1f1b_train_step
+
+# ---------------------------------------------------------------------------
+# Pure schedule invariants (no mesh)
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 4), (2, 1), (2, 8), (4, 4), (4, 13), (3, 7)])
+def test_schedule_invariants(pp, n_micro):
+    """(a) every microbatch runs forward AND backward exactly once per
+    stage; (b) forward rides s->s+1 one tick apart, backward rides s->s-1
+    one tick apart; (c) on the last stage forward and backward of a
+    microbatch coincide (the fused F+B tick); (d) the saved-activation ring
+    of size 2*pp never holds two live microbatches in the same slot; (e)
+    pipeline_1f1b_ticks is exactly the last active tick + 1."""
+    ticks = pipeline_1f1b_ticks(n_micro, pp)
+    fwd_seen, bwd_seen = {}, {}
+    last_active = -1
+    for t in range(ticks + 2 * pp):  # overshoot: nothing runs past `ticks`
+        for s in range(pp):
+            m_f, m_b = schedule_1f1b(t, s, pp=pp, n_micro=n_micro)
+            if m_f is not None:
+                assert (m_f, s) not in fwd_seen
+                fwd_seen[(m_f, s)] = t
+                last_active = max(last_active, t)
+            if m_b is not None:
+                assert (m_b, s) not in bwd_seen
+                bwd_seen[(m_b, s)] = t
+                last_active = max(last_active, t)
+        # ring-collision check: microbatches forwarded at stage s but not
+        # yet backwarded must occupy distinct slots mod 2*pp
+        for s in range(pp):
+            live = [
+                m for m in range(n_micro)
+                if (m, s) in fwd_seen and (m, s) not in bwd_seen
+            ]
+            slots = [m % (2 * pp) for m in live]
+            assert len(set(slots)) == len(slots), (t, s, live)
+    assert len(fwd_seen) == len(bwd_seen) == n_micro * pp
+    for m in range(n_micro):
+        for s in range(pp - 1):
+            assert fwd_seen[(m, s + 1)] == fwd_seen[(m, s)] + 1
+            assert bwd_seen[(m, s)] == bwd_seen[(m, s + 1)] + 1
+        assert fwd_seen[(m, pp - 1)] == bwd_seen[(m, pp - 1)]  # fused tick
+    assert last_active + 1 == ticks
+
+
+# ---------------------------------------------------------------------------
+# Gradient / trajectory equality vs plain autodiff of the microbatched loss
+
+
+def _mr_batch(B, Lv, Lt, cfg):
+    rng = np.random.default_rng(0)
+    ts = np.tile(
+        ((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2)
+    ).astype(np.float32)
+    win = np.zeros((B, Lv), np.float32)
+    win[:, 3:8] = 1
+    nn_ = np.zeros((B, Lv, 2), np.float32)
+    nn_[:, :, 0], nn_[:, :, 1] = 3 / Lv, 8 / Lv
+    mi = {
+        "src_txt": rng.standard_normal((B, Lt, cfg.txt_dim)).astype(np.float32),
+        "src_txt_mask": np.ones((B, Lt), np.float32),
+        "src_vid": rng.standard_normal((B, Lv, cfg.vid_dim)).astype(np.float32),
+        "src_vid_mask": np.ones((B, Lv), np.float32),
+    }
+    tg = {
+        "timestamp": ts,
+        "timestamp_mask": np.ones((B, Lv), np.float32),
+        "timestamp_window": win,
+        "span_labels_nn": nn_,
+        "saliency_scores": rng.uniform(0, 1, (B, Lv)).astype(np.float32),
+        "saliency_pos_labels": np.full((B, 1), 4, np.int32),
+    }
+    return mi, tg
+
+
+_MODEL_KW = dict(
+    vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=4, num_heads=4,
+    ffn_dim=96, max_v_l=16, max_q_l=8, dropout=0.0, droppath=0.0,
+    input_dropout=0.0, scan_layers=True,
+)
+
+
+def _make_ref_step(model, opt, weights, n_blocks):
+    """Plain-autodiff step on the 1F1B loss definition: mean of the loss
+    over each of `n_blocks` contiguous row blocks (microbatch x dp order
+    matches the engine's (M, mb/dp) split)."""
+
+    def step(state: TrainState, mi, tg, rng):
+        B = mi["src_txt"].shape[0]
+        bs = B // n_blocks
+
+        def loss_fn(params):
+            tot = 0.0
+            for i in range(n_blocks):
+                sl = slice(i * bs, (i + 1) * bs)
+                mib = {k: v[sl] for k, v in mi.items()}
+                tgb = jax.tree_util.tree_map(lambda a: a[sl], tg)
+                out = forward(model, params, mib, train=False)
+                tot = tot + compute_losses(out, tgb, weights)["loss_overall"]
+            return tot / n_blocks
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+            grads,
+        )
+
+    return jax.jit(step)
+
+
+@pytest.mark.parametrize(
+    "pp,dp,n_micro,B,kw",
+    [
+        (2, 2, 4, 8, {}),                      # canonical
+        (2, 1, 8, 8, {}),                      # M=8 > 2*pp=4: ring slots reused
+        (4, 1, 4, 8, {"num_layers": 8}),       # 4 stages, deeper stack
+        (2, 1, 1, 4, {}),                      # M=1 degenerate
+        (2, 2, 4, 8, {"use_txt_pos": True}),   # trainable text pos cotangent
+    ],
+)
+def test_1f1b_training_matches_microbatched_autodiff(pp, dp, n_micro, B, kw):
+    """Three coupled optimizer steps: the 1F1B trajectory (losses AND final
+    params) equals plain autodiff of the microbatched-loss on one device."""
+    cfg = ModelConfig(**{**_MODEL_KW, **kw})
+    model = UniVTG(cfg)
+    mi, tg = _mr_batch(B, 16, 8, cfg)
+    opt = make_optimizer(lambda s: 1e-4)
+    weights = LossWeights()
+
+    state_ref = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    ref_step = _make_ref_step(model, opt, weights, n_micro * dp)
+    ref_losses = []
+    for _ in range(3):
+        state_ref, loss, _ = ref_step(state_ref, mi, tg, jax.random.PRNGKey(1))
+        ref_losses.append(float(loss))
+
+    mesh = make_mesh(dp=dp, pp=pp, tp=1, devices=jax.devices()[: dp * pp])
+    state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    step = make_1f1b_train_step(model, opt, weights, n_micro=n_micro)
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    losses = []
+    with jax.set_mesh(mesh):
+        for _ in range(3):
+            state, m = step(state, smi, stg, jax.random.PRNGKey(1))
+            losses.append(float(m["loss_overall"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-5, atol=2e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        ),
+        jax.device_get(state.params),
+        jax.device_get(state_ref.params),
+    )
+
+
+def test_1f1b_gradients_match_microbatched_autodiff():
+    """Single-step gradient comparison (tighter than trajectories): every
+    leaf of the 1F1B gradient tree equals the autodiff gradient of the
+    microbatched loss."""
+    cfg = ModelConfig(**_MODEL_KW)
+    model = UniVTG(cfg)
+    mi, tg = _mr_batch(8, 16, 8, cfg)
+    weights = LossWeights()
+    # sgd(1.0): params_before - params_after == the gradient tree exactly
+    sgd = optax.sgd(1.0)
+
+    state0 = init_state(model, cfg, sgd, jax.random.PRNGKey(0))
+    _, _, g_ref = _make_ref_step(model, sgd, weights, 4)(
+        state0, mi, tg, jax.random.PRNGKey(1)
+    )
+
+    mesh = make_mesh(dp=1, pp=2, tp=1, devices=jax.devices()[:2])
+    state = init_state(model, cfg, sgd, jax.random.PRNGKey(0))
+    params_before = jax.device_get(state.params)
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    step = make_1f1b_train_step(model, sgd, weights, n_micro=4, donate=False)
+    with jax.set_mesh(mesh):
+        new_state, _ = step(
+            state, shard_batch(mesh, mi), shard_batch(mesh, tg), jax.random.PRNGKey(1)
+        )
+    g_1f1b = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b),
+        params_before,
+        jax.device_get(new_state.params),
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, np.asarray(b), atol=2e-5, rtol=2e-4),
+        g_1f1b,
+        jax.device_get(g_ref),
+    )
+
+
+def test_1f1b_with_dropout_runs_and_learns():
+    """Dropout/droppath active: RNG folds per (microbatch, global layer) so
+    the backward recompute regenerates the forward masks; the loss must stay
+    finite and decrease (exact equality to sequential is not expected --
+    different fold order)."""
+    kw = dict(_MODEL_KW, dropout=0.1, droppath=0.1, input_dropout=0.3)
+    cfg = ModelConfig(**kw)
+    model = UniVTG(cfg)
+    mi, tg = _mr_batch(8, 16, 8, cfg)
+    opt = make_optimizer(lambda s: 5e-4)
+    mesh = make_mesh(dp=2, pp=2, tp=1, devices=jax.devices()[:4])
+    state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    step = make_1f1b_train_step(model, opt, LossWeights(), n_micro=4)
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    losses = []
+    with jax.set_mesh(mesh):
+        for i in range(4):
+            state, m = step(state, smi, stg, jax.random.PRNGKey(i))
+            losses.append(float(m["loss_overall"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+
+
+def test_validation_errors():
+    opt = make_optimizer(lambda s: 1e-4)
+    with pytest.raises(ValueError, match="scan_layers"):
+        make_1f1b_train_step(
+            UniVTG(ModelConfig(**dict(_MODEL_KW, scan_layers=False))),
+            opt, LossWeights(), n_micro=4,
+        )
+    with pytest.raises(ValueError, match="post-norm"):
+        make_1f1b_train_step(
+            UniVTG(ModelConfig(**dict(_MODEL_KW, pre_norm=True))),
+            opt, LossWeights(), n_micro=4,
+        )
+    with pytest.raises(ValueError, match="interleave"):
+        make_1f1b_train_step(
+            UniVTG(ModelConfig(
+                **_MODEL_KW, pipeline_stages=2, pipeline_interleave=2,
+                pipeline_pre_permuted=True,
+            )),
+            opt, LossWeights(), n_micro=4,
+        )
+    with pytest.raises(ValueError, match="microbatch"):
+        make_1f1b_train_step(UniVTG(ModelConfig(**_MODEL_KW)), opt, LossWeights())
+
+    # off-mesh execution must refuse (the engine needs a pp axis)
+    cfg = ModelConfig(**_MODEL_KW)
+    model = UniVTG(cfg)
+    mi, tg = _mr_batch(4, 16, 8, cfg)
+    state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    step = make_1f1b_train_step(model, opt, LossWeights(), n_micro=2, donate=False)
+    with pytest.raises(ValueError, match="pp"):
+        step(state, mi, tg, jax.random.PRNGKey(1))
