@@ -197,12 +197,75 @@ def test_train_pipelined_interleaved_driver(corpus, tmp_path):
     assert np.isfinite(lines[-1]["loss_overall"])
 
 
+def test_train_1f1b_driver(corpus, tmp_path):
+    """End-to-end pipeline_schedule='1f1b' driver run: trains, learns, saves
+    artifacts, and evaluates (eval decodes through the forward/GPipe path --
+    the schedule choice only affects training). The logged loss is the mean
+    of per-(microbatch x dp-shard) losses (steps_1f1b.py docstring), so no
+    equality to the full-batch sequential trajectory is asserted here;
+    tests/test_pipeline_1f1b.py pins gradients against that definition."""
+    import dataclasses
+
+    results = str(tmp_path / "f1b")
+    base = make_cfg(corpus, results)
+    model = dataclasses.replace(
+        base.model,
+        num_layers=4, droppath=0.0, input_dropout=0.0, scan_layers=True,
+        pipeline_stages=2, pipeline_microbatches=4,
+    )
+    cfg = dataclasses.replace(
+        base, model=model, pp=2, dp=4, tp=1, pipeline_schedule="1f1b",
+        n_epoch=2, eval_epoch=2,
+    )
+    metrics, best_path = train_mr(cfg)
+    assert os.path.exists(best_path)
+    lines = [
+        json.loads(l) for l in open(os.path.join(results, "train_log.jsonl"))
+    ]
+    assert len(lines) == 2
+    assert all(np.isfinite(l["loss_overall"]) for l in lines)
+    assert lines[-1]["loss_overall"] < lines[0]["loss_overall"]
+    assert "MR-full-mAP-key" in metrics["brief"]
+
+    # elastic restart continues through the 1F1B step
+    train_mr(dataclasses.replace(cfg, n_epoch=3), resume="auto")
+    lines = [
+        json.loads(l) for l in open(os.path.join(results, "train_log.jsonl"))
+    ]
+    assert lines[-1]["epoch"] == 2 and np.isfinite(lines[-1]["loss_overall"])
+
+
 def test_train_pp_config_validation(corpus, tmp_path):
     import dataclasses
 
     cfg = make_cfg(corpus, str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="pipeline_stages"):
         train_mr(dataclasses.replace(cfg, pp=2, dp=4, tp=1))
+
+    pipe_model = dataclasses.replace(
+        cfg.model, num_layers=4, scan_layers=True,
+        pipeline_stages=2, pipeline_microbatches=4,
+    )
+    good = dataclasses.replace(cfg, model=pipe_model, pp=2, dp=4, tp=1)
+    with pytest.raises(ValueError, match="pipeline_schedule"):
+        train_mr(dataclasses.replace(good, pipeline_schedule="zigzag"))
+    # 1f1b constraint violations fail up front with a named error
+    with pytest.raises(ValueError, match="1f1b"):
+        train_mr(
+            dataclasses.replace(
+                good, pipeline_schedule="1f1b", tp=2, dp=2
+            )
+        )
+    with pytest.raises(ValueError, match="1f1b"):
+        train_mr(
+            dataclasses.replace(
+                good,
+                model=dataclasses.replace(pipe_model, pipeline_interleave=2),
+                pipeline_schedule="1f1b",
+            )
+        )
+    with pytest.raises(ValueError, match="1f1b"):
+        train_mr(dataclasses.replace(good, pipeline_schedule="1f1b", scan_steps=4))
 
 
 def test_train_pp_rejects_bad_tiling_and_batches(corpus, tmp_path):

@@ -91,6 +91,17 @@ class TrainConfig:
     # permutation-free per step; checkpoints stay in canonical layer order
     # (converted at restore/save), so they load anywhere.
     pp: int = 1
+    # pipeline TRAINING schedule (pp > 1 only):
+    #   "gpipe" -- all-forward-then-all-backward via plain autodiff through
+    #     the tick scan (supports interleave, tp, remat; activation memory
+    #     grows with the microbatch count M);
+    #   "1f1b"  -- true one-forward-one-backward with manual per-chunk vjp
+    #     (train/steps_1f1b.py): activation memory O(pp) independent of M,
+    #     the schedule for large-M small-bubble training. Needs tp=1,
+    #     interleave=1, post-norm, univtg. Eval always decodes through the
+    #     forward (GPipe) path -- identical numerics, forward has no
+    #     schedule choice to make.
+    pipeline_schedule: str = "gpipe"
     num_io_threads: int = 8
     use_gates: bool = False  # per-sample loss gating (VLP multi-corpus)
     shard_index: int = 0  # per-host data shard (multi-process pretraining)
@@ -234,6 +245,20 @@ def train_mr(
             f"num_layers={cfg.model.num_layers} must tile over pp={cfg.pp} "
             f"stages x pipeline_interleave={v} chunks"
         )
+    if cfg.pipeline_schedule not in ("gpipe", "1f1b"):
+        raise ValueError(
+            f"pipeline_schedule must be 'gpipe' or '1f1b' "
+            f"(got {cfg.pipeline_schedule!r})"
+        )
+    if cfg.pipeline_schedule == "1f1b":
+        # constraints come from the manual-vjp engine (steps_1f1b.py);
+        # caught here so a misconfigured run fails before data loading
+        if cfg.tp != 1 or v != 1 or cfg.model.pre_norm or cfg.scan_steps > 1:
+            raise ValueError(
+                "pipeline_schedule='1f1b' needs tp=1, "
+                "pipeline_interleave=1, pre_norm=False, scan_steps=1 "
+                "(use the gpipe schedule for interleave/tp combinations)"
+            )
     mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp)
     n_micro = cfg.model.pipeline_microbatches or cfg.pp
     dp_size = mesh.shape["dp"]
@@ -395,6 +420,15 @@ def _train_mr_impl(
             span_loss_type=cfg.model.span_loss_type,
             clip_length=cfg.eval_data.clip_len if cfg.eval_data else 2.0,
         )
+    elif cfg.pp > 1 and cfg.pipeline_schedule == "1f1b":
+        from univtg_tpu.train.steps_1f1b import make_1f1b_train_step
+
+        train_step = make_1f1b_train_step(
+            model, optimizer, cfg.weights, tuple(cfg.losses),
+            use_gates=cfg.use_gates,
+            n_micro=cfg.model.pipeline_microbatches or cfg.pp,
+        )
+        eval_step = make_eval_step(model, cfg.eval_mode)
     else:
         train_step = make_train_step(
             model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
