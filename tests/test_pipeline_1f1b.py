@@ -20,50 +20,70 @@ from univtg_tpu.parallel.pipeline_1f1b import (
     pipeline_1f1b_ticks,
     schedule_1f1b,
 )
-from univtg_tpu.train.steps import forward, init_state, make_optimizer
+from univtg_tpu.train.steps import (
+    TrainState,
+    forward,
+    init_state,
+    make_optimizer,
+)
 from univtg_tpu.train.steps_1f1b import make_1f1b_train_step
 
 # ---------------------------------------------------------------------------
 # Pure schedule invariants (no mesh)
 
 
-@pytest.mark.parametrize("pp,n_micro", [(2, 4), (2, 1), (2, 8), (4, 4), (4, 13), (3, 7)])
-def test_schedule_invariants(pp, n_micro):
-    """(a) every microbatch runs forward AND backward exactly once per
-    stage; (b) forward rides s->s+1 one tick apart, backward rides s->s-1
-    one tick apart; (c) on the last stage forward and backward of a
-    microbatch coincide (the fused F+B tick); (d) the saved-activation ring
-    of size 2*pp never holds two live microbatches in the same slot; (e)
-    pipeline_1f1b_ticks is exactly the last active tick + 1."""
-    ticks = pipeline_1f1b_ticks(n_micro, pp)
-    fwd_seen, bwd_seen = {}, {}
+@pytest.mark.parametrize(
+    "pp,v,n_micro",
+    [
+        (2, 1, 4), (2, 1, 1), (2, 1, 8), (4, 1, 4), (4, 1, 13), (3, 1, 7),
+        (2, 2, 4), (2, 2, 3), (2, 2, 16), (2, 4, 8), (4, 2, 8), (3, 3, 7),
+    ],
+)
+def test_schedule_invariants(pp, v, n_micro):
+    """(a) every (microbatch, chunk) runs forward AND backward exactly
+    once, on device chunk%pp; (b) forward rides chunk c->c+1 one tick
+    apart, backward rides c->c-1 one tick apart (one ppermute each); (c)
+    at most one F and one B per device per tick; (d) the per-(device,
+    slot) saved-activation ring of size 2*pp never holds two live
+    microbatches in the same position; (e) pipeline_1f1b_ticks is exactly
+    the last active tick + 1; (f) at v=1 the last stage's F and B of a
+    microbatch coincide (the fused tick)."""
+    ticks = pipeline_1f1b_ticks(n_micro, pp, v)
+    fwd_seen, bwd_seen = {}, {}  # (m, global chunk c) -> tick
     last_active = -1
-    for t in range(ticks + 2 * pp):  # overshoot: nothing runs past `ticks`
+    for t in range(ticks + 2 * pp * v):  # overshoot: nothing past `ticks`
         for s in range(pp):
-            m_f, m_b = schedule_1f1b(t, s, pp=pp, n_micro=n_micro)
-            if m_f is not None:
-                assert (m_f, s) not in fwd_seen
-                fwd_seen[(m_f, s)] = t
+            fwd, bwd = schedule_1f1b(t, s, pp=pp, n_micro=n_micro, interleave=v)
+            if fwd is not None:
+                j, m = fwd
+                c = s + pp * j
+                assert (m, c) not in fwd_seen
+                fwd_seen[(m, c)] = t
                 last_active = max(last_active, t)
-            if m_b is not None:
-                assert (m_b, s) not in bwd_seen
-                bwd_seen[(m_b, s)] = t
+            if bwd is not None:
+                j, m = bwd
+                c = s + pp * j
+                assert (m, c) not in bwd_seen
+                assert (m, c) in fwd_seen, "backward before forward"
+                bwd_seen[(m, c)] = t
                 last_active = max(last_active, t)
-        # ring-collision check: microbatches forwarded at stage s but not
-        # yet backwarded must occupy distinct slots mod 2*pp
+        # ring-collision check per (device, slot)
         for s in range(pp):
-            live = [
-                m for m in range(n_micro)
-                if (m, s) in fwd_seen and (m, s) not in bwd_seen
-            ]
-            slots = [m % (2 * pp) for m in live]
-            assert len(set(slots)) == len(slots), (t, s, live)
-    assert len(fwd_seen) == len(bwd_seen) == n_micro * pp
+            for j in range(v):
+                c = s + pp * j
+                live = [
+                    m for m in range(n_micro)
+                    if (m, c) in fwd_seen and (m, c) not in bwd_seen
+                ]
+                slots = [m % (2 * pp) for m in live]
+                assert len(set(slots)) == len(slots), (t, s, j, live)
+    assert len(fwd_seen) == len(bwd_seen) == n_micro * pp * v
     for m in range(n_micro):
-        for s in range(pp - 1):
-            assert fwd_seen[(m, s + 1)] == fwd_seen[(m, s)] + 1
-            assert bwd_seen[(m, s)] == bwd_seen[(m, s + 1)] + 1
-        assert fwd_seen[(m, pp - 1)] == bwd_seen[(m, pp - 1)]  # fused tick
+        for c in range(pp * v - 1):
+            assert fwd_seen[(m, c + 1)] == fwd_seen[(m, c)] + 1
+            assert bwd_seen[(m, c)] == bwd_seen[(m, c + 1)] + 1
+        if v == 1:
+            assert fwd_seen[(m, pp - 1)] == bwd_seen[(m, pp - 1)]
     assert last_active + 1 == ticks
 
 
@@ -143,6 +163,9 @@ def _make_ref_step(model, opt, weights, n_blocks):
         (4, 1, 4, 8, {"num_layers": 8}),       # 4 stages, deeper stack
         (2, 1, 1, 4, {}),                      # M=1 degenerate
         (2, 2, 4, 8, {"use_txt_pos": True}),   # trainable text pos cotangent
+        # interleaved 1F1B (v>1): canonical-order params, engine gathers
+        (2, 1, 4, 8, {"num_layers": 8, "pipeline_interleave": 2}),
+        (2, 2, 6, 12, {"num_layers": 8, "pipeline_interleave": 4}),
     ],
 )
 def test_1f1b_training_matches_microbatched_autodiff(pp, dp, n_micro, B, kw):
@@ -219,6 +242,62 @@ def test_1f1b_gradients_match_microbatched_autodiff():
         lambda a, b: np.testing.assert_allclose(a, np.asarray(b), atol=2e-5, rtol=2e-4),
         g_1f1b,
         jax.device_get(g_ref),
+    )
+
+
+def test_interleaved_1f1b_pre_permuted_matches_autodiff():
+    """The production layout for v>1: device-major (pre-permuted) training
+    state, permutation-free per step. The 3-step trajectory equals plain
+    autodiff of the microbatched loss on canonical params, and the final
+    device-major params convert back to the canonical trajectory's."""
+    from univtg_tpu.parallel.pipeline import permute_pipeline_params
+
+    L, v, M = 8, 2, 4
+    cfg_ref = ModelConfig(**dict(_MODEL_KW, num_layers=L))
+    cfg = ModelConfig(
+        **dict(_MODEL_KW, num_layers=L),
+        pipeline_stages=2, pipeline_microbatches=M,
+        pipeline_interleave=v, pipeline_pre_permuted=True,
+    )
+    model_ref = UniVTG(cfg_ref)  # canonical twin: identical param tree
+    model = UniVTG(cfg)
+    mi, tg = _mr_batch(8, 16, 8, cfg)
+    opt = make_optimizer(lambda s: 1e-4)
+    weights = LossWeights()
+
+    state_ref = init_state(model_ref, cfg_ref, opt, jax.random.PRNGKey(0))
+    ref_step = _make_ref_step(model_ref, opt, weights, M)
+    ref_losses = []
+    for _ in range(3):
+        state_ref, loss, _ = ref_step(state_ref, mi, tg, jax.random.PRNGKey(1))
+        ref_losses.append(float(loss))
+
+    mesh = make_mesh(dp=1, pp=2, tp=1, devices=jax.devices()[:2])
+    state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
+    state = state.replace(
+        params=permute_pipeline_params(state.params, L, 2, v),
+        opt_state=permute_pipeline_params(state.opt_state, L, 2, v),
+    )
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    step = make_1f1b_train_step(model, opt, weights, n_micro=M)
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    losses = []
+    with jax.set_mesh(mesh):
+        for _ in range(3):
+            state, m = step(state, smi, stg, jax.random.PRNGKey(1))
+            losses.append(float(m["loss_overall"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-5, atol=2e-6)
+    params_back = permute_pipeline_params(
+        jax.device_get(state.params), L, 2, v, inverse=True
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        ),
+        params_back,
+        jax.device_get(state_ref.params),
     )
 
 
@@ -312,11 +391,11 @@ def test_validation_errors():
             UniVTG(ModelConfig(**dict(_MODEL_KW, pre_norm=True))),
             opt, LossWeights(), n_micro=4,
         )
-    with pytest.raises(ValueError, match="interleave"):
+    with pytest.raises(ValueError, match="pre_permuted"):
+        # device-major layout without interleaving is meaningless
         make_1f1b_train_step(
             UniVTG(ModelConfig(
-                **_MODEL_KW, pipeline_stages=2, pipeline_interleave=2,
-                pipeline_pre_permuted=True,
+                **_MODEL_KW, pipeline_stages=2, pipeline_pre_permuted=True,
             )),
             opt, LossWeights(), n_micro=4,
         )

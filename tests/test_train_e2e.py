@@ -197,21 +197,25 @@ def test_train_pipelined_interleaved_driver(corpus, tmp_path):
     assert np.isfinite(lines[-1]["loss_overall"])
 
 
-def test_train_1f1b_driver(corpus, tmp_path):
-    """End-to-end pipeline_schedule='1f1b' driver run: trains, learns, saves
-    artifacts, and evaluates (eval decodes through the forward/GPipe path --
-    the schedule choice only affects training). The logged loss is the mean
-    of per-(microbatch x dp-shard) losses (steps_1f1b.py docstring), so no
-    equality to the full-batch sequential trajectory is asserted here;
-    tests/test_pipeline_1f1b.py pins gradients against that definition."""
+@pytest.mark.parametrize("interleave", [1, 2])
+def test_train_1f1b_driver(corpus, tmp_path, interleave):
+    """End-to-end pipeline_schedule='1f1b' driver run (v=1 and the
+    interleaved v=2 schedule on the driver-managed device-major state):
+    trains, learns, saves artifacts, and evaluates (eval decodes through
+    the forward/GPipe path -- the schedule choice only affects training).
+    The logged loss is the mean of per-(microbatch x dp-shard) losses
+    (steps_1f1b.py docstring), so no equality to the full-batch sequential
+    trajectory is asserted here; tests/test_pipeline_1f1b.py pins
+    gradients against that definition."""
     import dataclasses
 
-    results = str(tmp_path / "f1b")
+    results = str(tmp_path / f"f1b{interleave}")
     base = make_cfg(corpus, results)
     model = dataclasses.replace(
         base.model,
         num_layers=4, droppath=0.0, input_dropout=0.0, scan_layers=True,
         pipeline_stages=2, pipeline_microbatches=4,
+        pipeline_interleave=interleave,
     )
     cfg = dataclasses.replace(
         base, model=model, pp=2, dp=4, tp=1, pipeline_schedule="1f1b",
@@ -254,14 +258,6 @@ def test_train_pp_config_validation(corpus, tmp_path):
         train_mr(
             dataclasses.replace(
                 good, pipeline_schedule="1f1b", tp=2, dp=2
-            )
-        )
-    with pytest.raises(ValueError, match="1f1b"):
-        train_mr(
-            dataclasses.replace(
-                good,
-                model=dataclasses.replace(pipe_model, pipeline_interleave=2),
-                pipeline_schedule="1f1b",
             )
         )
     with pytest.raises(ValueError, match="1f1b"):

@@ -13,34 +13,47 @@ This module implements 1F1B as a SINGLE scan whose tick body computes both
 a forward and a backward microbatch-chunk per device -- no autodiff across
 the scan; gradients are produced inside it with per-chunk ``jax.vjp`` and
 accumulated into carry buffers. Saved state per device is a fixed ring of
-``2*pp`` chunk inputs (the schedule's in-flight span is ``2(pp-1-s)+1 <=
-2pp-1`` microbatches at stage ``s``), so activation memory is O(pp * mb *
-T * D) regardless of M.
+chunk inputs whose size is independent of M.
 
-Schedule (one combined F+B tick; 0-indexed stages, M microbatches):
+Schedule (0-indexed stages, M microbatches, v = interleave virtual chunks
+per device; chunk ``c`` of ``pp*v`` lives on device ``c % pp``, slot
+``j = c // pp`` -- the same layout as the interleaved GPipe schedule, so
+``v > 1`` consumes the SAME device-major parameter order,
+parallel/pipeline.py:interleave_permutation):
 
-    forward  of microbatch m at stage s:   tick  t = m + s
-    backward of microbatch m at stage s:   tick  t = m + 2*pp - 2 - s
+    forward  of microbatch m, chunk c:  t_f = (m//pp)*pp*v + m%pp + c
+    backward of microbatch m, chunk c:  t_b = t_f(m, 0) + D + (pp*v-1-c)
 
-* On the LAST stage these coincide (t = m + pp - 1): its tick fuses
-  chunk-forward -> heads -> loss -> chunk-backward in one ``jax.vjp``,
-  seeding the backward ring.
-* The forward dependency t_f(s+1) = t_f(s) + 1 and backward dependency
-  t_b(s-1) = t_b(s) + 1 each ride ONE ``lax.ppermute`` per tick (forward
-  ring s -> s+1, backward ring s -> s-1).
-* Total ticks: M + 2*pp - 2. Steady state runs exactly one F and one B
-  per device per tick -- the 1F1B invariant.
-* In-flight forwards at stage s (saved, awaiting backward):
-  (t - s) - (t - 2pp + 2 + s) = 2(pp - 1 - s), +1 for the one being
-  produced -- hence the 2*pp ring never collides.
+with flush offset ``D = pp*v - 1`` (the minimum that keeps
+``t_b(m, last) >= t_f(m, last)``). Properties (verified exhaustively for
+(pp, v, M) grids by tests/test_pipeline_1f1b.py::test_schedule_invariants):
+
+* At most ONE forward chunk and ONE backward chunk run per device per
+  tick -- the 1F1B invariant, now per virtual slot.
+* The forward dependency t_f(m, c+1) = t_f(m, c) + 1 and backward
+  dependency t_b(m, c-1) = t_b(m, c) + 1 each ride ONE ``lax.ppermute``
+  per tick (forward ring s -> s+1, backward ring s -> s-1), for any v.
+* On the LAST chunk (device pp-1, slot v-1) forward and backward may
+  coincide (exactly at v=1): its backward tick recomputes
+  chunk-forward -> heads -> loss from the saved chunk input in one
+  ``jax.vjp``, seeding the backward ring.
+* In-flight saved chunk inputs never exceed 2*pp per (device, slot) and
+  microbatch ring index ``m % 2pp`` never collides, so the saved-input
+  buffer is ``(v, 2*pp)`` chunk inputs per device: O(pp*v), independent
+  of M. v=1 reduces to the classic bound 2(pp-1-s)+1 <= 2pp-1 at stage s.
+* Total ticks: 2*(pp*v - 1) + ((M-1)//pp)*pp*v + (M-1)%pp + 1
+  (= M + 2pp - 2 at v=1). A tick costs a 1/v-stage of compute, so like
+  interleaved GPipe the fill/drain bubble TIME shrinks ~v-fold; the cost
+  is v-fold more ppermute hops and up to v-fold more saved chunk inputs
+  (still M-independent) -- the standard Megatron interleaved tradeoff.
 
 The engine pipelines the WHOLE training step, not just the encoder: the
-last stage computes the model heads and the loss per microbatch. Loss
-semantics therefore follow the reference's DDP locality (each worker's
-contrastive/normalized terms are computed over its local rows,
-main/train_vlp_ddp.py:272-275): the total loss is the mean of per-(
-microbatch x dp-shard) losses. tests/test_pipeline_1f1b.py pins gradient
-equality against exactly that microbatched-loss definition.
+last chunk's backward computes the model heads and the loss per
+microbatch. Loss semantics therefore follow the reference's DDP locality
+(each worker's contrastive/normalized terms are computed over its local
+rows, main/train_vlp_ddp.py:272-275): the total loss is the mean of
+per-(microbatch x dp-shard) losses. tests/test_pipeline_1f1b.py pins
+gradient equality against exactly that microbatched-loss definition.
 
 Input projections ("pre") stay OUTSIDE the engine under plain autodiff:
 the engine returns cotangents for the encoder input, the positional
@@ -50,8 +63,7 @@ model/univtg.py:139-147), and the caller pulls them back through ``pre``
 with ``jax.vjp``. See train/steps_1f1b.make_1f1b_train_step.
 
 Beyond-reference capability: the reference has no model parallelism at all
-(DDP only). Like the GPipe/interleaved schedules this pays off on encoder
-variants far deeper than the 4-layer flagship; unlike them its activation
+(DDP only). Unlike the GPipe/interleaved schedules the activation
 footprint no longer scales with the microbatch count, which is what makes
 large-M (small-bubble) pipelining viable on real pods.
 """
@@ -63,21 +75,61 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-
-def pipeline_1f1b_ticks(n_micro: int, pp: int) -> int:
-    """Last backward: microbatch M-1 at stage 0 -> tick M-1 + 2pp - 2."""
-    return n_micro + 2 * pp - 2
+from univtg_tpu.parallel.pipeline import interleave_permutation, schedule_active
 
 
-def schedule_1f1b(t: int, s: int, *, pp: int, n_micro: int):
-    """(tick, stage) -> (fwd microbatch | None, bwd microbatch | None).
-    Pure-Python mirror of the traced schedule for the invariant tests."""
-    m_f = t - s
-    m_b = t - (2 * pp - 2 - s)
-    return (
-        m_f if 0 <= m_f < n_micro else None,
-        m_b if 0 <= m_b < n_micro else None,
-    )
+def pipeline_1f1b_ticks(n_micro: int, pp: int, interleave: int = 1) -> int:
+    """Last backward: microbatch M-1, chunk 0 -> tick
+    (M-1)//pp*pp*v + (M-1)%pp + 2*(pp*v - 1); +1 converts index to count.
+    Reduces to M + 2*pp - 2 at v=1."""
+    v = max(1, interleave)
+    return ((n_micro - 1) // pp) * pp * v + (n_micro - 1) % pp + 2 * (pp * v - 1) + 1
+
+
+def schedule_1f1b(t: int, s: int, *, pp: int, n_micro: int, interleave: int = 1):
+    """(tick, device) -> (forward (slot, microbatch) | None,
+    backward (slot, microbatch) | None). Pure-Python mirror of the traced
+    schedule for the invariant tests. Slot j holds global chunk s + pp*j."""
+    v = max(1, interleave)
+    D = pp * v - 1
+
+    def decode(base):
+        # base must equal (m//pp)*pp*v + m%pp for some live microbatch m
+        if base < 0:
+            return None
+        rem = base % (pp * v)
+        if rem >= pp:
+            return None
+        m = (base // (pp * v)) * pp + rem
+        return m if m < n_micro else None
+
+    fwd = bwd = None
+    for j in range(v):
+        c = s + pp * j
+        m = decode(t - c)
+        if m is not None:
+            assert fwd is None, "two forward chunks on one device/tick"
+            fwd = (j, m)
+        m = decode(t - D - (pp * v - 1 - c))
+        if m is not None:
+            assert bwd is None, "two backward chunks on one device/tick"
+            bwd = (j, m)
+    return fwd, bwd
+
+
+def _sched_bwd_traced(t, s, *, pp: int, v: int, n_micro: int):
+    """Traced backward-schedule decode: (active?, slot j, microbatch m).
+    Mirror of schedule_1f1b's backward branch (u = t - D - (pp*v-1-c))."""
+    D = pp * v - 1
+    js = jnp.arange(v)
+    u = t - D - (pp * v - 1 - (s + pp * js))
+    rem = u % (pp * v)
+    mj = (u // (pp * v)) * pp + rem
+    valid = (u >= 0) & (rem < pp) & (mj < n_micro)
+    j_act = jnp.argmax(valid)
+    any_valid = jnp.any(valid)
+    m_act = jnp.clip(jnp.where(any_valid, mj[j_act], 0), 0, n_micro - 1)
+    return any_valid, j_act, m_act
 
 
 def _tree_where(cond, a, b):
@@ -115,13 +167,18 @@ def pipeline_1f1b(
     rng_droppath,
     need_pos_grad: bool = False,
     axis: str = "pp",
+    interleave: int = 1,
+    pre_permuted: bool = False,
 ):
     """Run one pipelined forward+backward over the batch; returns
     ``(loss, metrics, d_stacked, d_heads, d_src, d_pos, d_vid, d_txt)``.
 
     Args:
       stacked_params: encoder layer stack, leading axis ``num_layers``,
-        canonical layer order (the scan_layers checkpoint layout).
+        canonical layer order (the scan_layers checkpoint layout) -- or
+        device-major chunk order when ``pre_permuted=True`` (required
+        layout for ``interleave > 1`` training states; the returned
+        ``d_stacked`` uses the SAME layout as the input).
       head_params: pytree of the model-head parameters (replicated).
       src/mask/pos: (B, T, D)/(B, T)/(B, T, D) encoder input, key-padding
         mask, positional embedding (from the model's ``pre`` phase).
@@ -130,22 +187,28 @@ def pipeline_1f1b(
       targets: per-sample supervision pytree, every leaf (B, ...).
       layer: unbound EncoderLayer -- the same stage body as the sequential
         scan and GPipe paths (no forked layer math).
-      heads_apply: fn(head_params, memory, vid_mb, txt_mb, vid_mask_mb,
-        txt_mask_mb) -> outputs dict (the model's ``heads`` method).
+      heads_apply: fn(head_params, memory, vid_mb, txt_mb, vmask_mb,
+        tmask_mb) -> outputs dict (the model's ``heads`` method).
       loss_fn: fn(outputs, targets_mb) -> (scalar loss, metrics dict),
         computed over the LOCAL (microbatch x dp-shard) rows.
       n_micro: microbatch count M; B % M == 0 and (B/M) must tile over dp.
       rng_dropout / rng_droppath: base keys; folded per (microbatch, global
-        layer) so the backward's recompute regenerates the forward's masks
-        exactly.
+        canonical layer) so the backward's recompute regenerates the
+        forward's masks exactly, for any schedule.
       need_pos_grad: accumulate and return d_pos (trainable text positions,
         cfg.use_txt_pos); otherwise d_pos is returned as None and the
         (M, mb, T, D) accumulator is never allocated.
+      interleave: virtual chunks per device (v; module docstring).
+      pre_permuted: stacked_params already in device-major chunk order
+        (parallel.pipeline.permute_pipeline_params); otherwise the v>1
+        path gathers the permutation per call (prefer pre-permuted for
+        training -- a cross-device re-gather of the whole stack otherwise).
 
-    Returned gradients: d_stacked is sharded P('pp') over the layer axis
-    and already dp-reduced; d_heads is replicated and dp-reduced; d_src /
-    d_pos / d_vid / d_txt are per-row cotangents (B, ...) for the caller's
-    ``pre``-phase vjp. ``loss``/``metrics`` are the global (M x dp)-mean.
+    Returned gradients: d_stacked is sharded P('pp') over the layer axis,
+    in the input's layer order, and already dp-reduced; d_heads is
+    replicated and dp-reduced; d_src / d_pos / d_vid / d_txt are per-row
+    cotangents (B, ...) for the caller's ``pre``-phase vjp.
+    ``loss``/``metrics`` are the global (M x dp)-mean.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -163,10 +226,12 @@ def pipeline_1f1b(
             "pipeline_1f1b supports (dp, pp) meshes only; set tp=1 (tensor-"
             "parallel layer shards inside a manual-vjp stage are not wired)"
         )
+    v = max(1, interleave)
     num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    if num_layers % pp != 0:
+    if num_layers % (pp * v) != 0:
         raise ValueError(
-            f"num_layers={num_layers} must tile over pp={pp} stages"
+            f"num_layers={num_layers} must tile over pp={pp} stages x "
+            f"interleave={v} chunks"
         )
     B, T, D = src.shape
     M = n_micro
@@ -180,6 +245,10 @@ def pipeline_1f1b(
             f"dp={dp}; lower n_micro or raise the batch size"
         )
     Lv, Lt = vid.shape[1], txt.shape[1]
+
+    if v > 1 and not pre_permuted:
+        perm = interleave_permutation(num_layers, pp, v)
+        stacked_params = jax.tree_util.tree_map(lambda a: a[perm], stacked_params)
 
     def split_m(a):
         return a.reshape((M, mb) + a.shape[1:])
@@ -200,6 +269,7 @@ def pipeline_1f1b(
         heads_apply=heads_apply,
         loss_fn=loss_fn,
         pp=pp,
+        v=v,
         dp=dp,
         n_micro=M,
         num_layers=num_layers,
@@ -234,6 +304,14 @@ def pipeline_1f1b(
     else:
         loss, metrics, d_stacked, d_heads, d_src, d_vid, d_txt = out
         d_pos = None
+
+    if v > 1 and not pre_permuted:
+        # return grads in the caller's (canonical) layer order
+        perm = interleave_permutation(num_layers, pp, v)
+        inv = jnp.zeros_like(jnp.asarray(perm)).at[jnp.asarray(perm)].set(
+            jnp.arange(len(perm))
+        )
+        d_stacked = jax.tree_util.tree_map(lambda a: a[inv], d_stacked)
     return (
         loss,
         metrics,
@@ -249,31 +327,38 @@ def pipeline_1f1b(
 def _1f1b_stage_fn(
     params_stage, head_params, src_m, mask_m, pos_m,
     vid_m, txt_m, vmask_m, tmask_m, targets_m, rng_dropout, rng_droppath,
-    *, layer, heads_apply, loss_fn, pp, dp, n_micro, num_layers, train,
+    *, layer, heads_apply, loss_fn, pp, v, dp, n_micro, num_layers, train,
     need_pos_grad, axis,
 ):
-    """Per-device 1F1B body. ``params_stage`` holds this device's contiguous
-    ``num_layers/pp`` layer slice; the microbatched activations/targets hold
-    the dp-local rows of ALL microbatches (the schedule decodes which
-    microbatch is in flight -- nothing travels with the activation except
-    the activation itself)."""
+    """Per-device 1F1B body. ``params_stage`` holds this device's
+    ``v * (num_layers/(pp*v))`` layer slice in slot-major chunk order (at
+    v=1: the contiguous canonical chunk); the microbatched activations /
+    targets hold the dp-local rows of ALL microbatches (the schedule
+    decodes which microbatch is in flight -- nothing travels with the
+    activation except the activation itself)."""
     s = jax.lax.axis_index(axis)
     M = n_micro
-    Lc = num_layers // pp
-    buf_n = 2 * pp
+    Lc = num_layers // (pp * v)  # layers per chunk
+    buf_n = 2 * pp  # per-slot ring; m % 2pp never collides (module docstring)
     inv = 1.0 / (M * dp)  # global loss = mean over (microbatch x dp) blocks
 
-    def chunk_fwd(p_chunk, h, kmask, posb, m):
-        """This device's layer slice, same body as the sequential scan."""
+    def slot_params(j):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, j * Lc, Lc, 0),
+            params_stage,
+        )
+
+    def chunk_fwd(p_chunk, h, kmask, posb, m, j):
+        """One chunk (this device's slot j), same body as the sequential
+        scan. RNG folds per (microbatch, GLOBAL canonical layer): schedule-
+        independent, so the backward's recompute regenerates the forward's
+        dropout/droppath masks exactly."""
 
         def body(carry, inp):
             p_layer, k = inp
             rngs = None
             if train:
-                # fold per (microbatch, GLOBAL layer): tick-independent, so
-                # the backward's recompute regenerates the forward's
-                # dropout/droppath masks exactly
-                gid = m * num_layers + s * Lc + k
+                gid = m * num_layers + (s + pp * j) * Lc + k
                 rngs = {
                     "dropout": jax.random.fold_in(rng_dropout, gid),
                     "droppath": jax.random.fold_in(rng_droppath, gid),
@@ -289,19 +374,21 @@ def _1f1b_stage_fn(
 
     def f_last(p_chunk, p_heads, h, posb, vid_mb, txt_mb,
                kmask, vmask_mb, tmask_mb, t_mb, m):
-        """Last stage's fused tick: chunk -> heads -> scaled loss."""
-        mem = chunk_fwd(p_chunk, h, kmask, posb, m)
+        """Last chunk's fused backward target: chunk -> heads -> scaled
+        loss, recomputed from the saved chunk input."""
+        mem = chunk_fwd(p_chunk, h, kmask, posb, m, v - 1)
         outputs = heads_apply(p_heads, mem, vid_mb, txt_mb, vmask_mb, tmask_mb)
         loss, metrics = loss_fn(outputs, t_mb)
-        return loss * inv, jax.tree_util.tree_map(lambda v: v * inv, metrics)
+        return loss * inv, jax.tree_util.tree_map(lambda x: x * inv, metrics)
 
     def idx(a, m):
         return jax.lax.dynamic_index_in_dim(a, m, 0, keepdims=False)
 
     # zero templates for the cond branches (both must return one pytree)
+    zero_slot = _tree_zeros(slot_params(0))
     metrics_shape = jax.eval_shape(
         f_last,
-        params_stage, head_params, src_m[0], pos_m[0], vid_m[0], txt_m[0],
+        zero_slot, head_params, src_m[0], pos_m[0], vid_m[0], txt_m[0],
         mask_m[0], vmask_m[0], tmask_m[0],
         jax.tree_util.tree_map(lambda a: a[0], targets_m), 0,
     )[1]
@@ -314,47 +401,50 @@ def _1f1b_stage_fn(
         (fwd_ring, bwd_ring, buf, d_layers, d_heads, d_src, d_pos,
          d_vid, d_txt, loss_acc, metrics_acc) = carry
 
-        # ---- forward phase: stage s runs microbatch m_f = t - s ----
-        m_f = t - s
-        act_f = (m_f >= 0) & (m_f < M)
-        m_fc = jnp.clip(m_f, 0, M - 1)
-        h_in = jnp.where(s == 0, idx(src_m, m_fc), fwd_ring)
+        # ---- forward phase: device s runs chunk slot j_f, microbatch m_f
+        act_f, j_f, m_f = schedule_active(t, s, pp=pp, v=v, n_micro=M)
+        # chunk 0 (slot 0 on device 0) takes fresh input; every other chunk
+        # consumes the forward ring
+        inject = jnp.logical_and(s == 0, j_f == 0)
+        h_in = jnp.where(inject, idx(src_m, m_f), fwd_ring)
         # retain the chunk INPUT for the backward's recompute; masked write
         # so idle ticks never clobber a live slot
+        slot_idx = j_f * buf_n + m_f % buf_n
         buf = _tree_where(
             act_f,
-            jax.lax.dynamic_update_index_in_dim(buf, h_in, m_fc % buf_n, 0),
+            jax.lax.dynamic_update_index_in_dim(buf, h_in, slot_idx, 0),
             buf,
         )
-        # the last stage's forward is fused into its backward below
+        # the last chunk's forward output is only consumed through its own
+        # backward recompute -- skip the dead compute
+        is_last_f = jnp.logical_and(s == pp - 1, j_f == v - 1)
         h_out = jax.lax.cond(
-            s == pp - 1,
+            is_last_f,
             lambda: jnp.zeros_like(h_in),
             lambda: chunk_fwd(
-                params_stage, h_in, idx(mask_m, m_fc), idx(pos_m, m_fc), m_fc
+                slot_params(j_f), h_in, idx(mask_m, m_f), idx(pos_m, m_f),
+                m_f, j_f,
             ),
         )
 
-        # ---- backward phase: stage s runs microbatch m_b ----
-        m_b = t - (2 * pp - 2 - s)
-        act_b = (m_b >= 0) & (m_b < M)
-        m_bc = jnp.clip(m_b, 0, M - 1)
-        kmask_b = idx(mask_m, m_bc)
-        posb_b = idx(pos_m, m_bc)
-        t_mb = jax.tree_util.tree_map(lambda a: idx(a, m_bc), targets_m)
+        # ---- backward phase: device s runs chunk slot j_b, microbatch m_b
+        act_b, j_b, m_b = _sched_bwd_traced(t, s, pp=pp, v=v, n_micro=M)
+        kmask_b = idx(mask_m, m_b)
+        posb_b = idx(pos_m, m_b)
+        t_mb = jax.tree_util.tree_map(lambda a: idx(a, m_b), targets_m)
+        h_saved = idx(buf, j_b * buf_n + m_b % buf_n)
+        p_slot_b = slot_params(j_b)
 
         def bwd_last():
-            # fused F+B: on the last stage m_b == m_f, so h_in IS this
-            # microbatch's chunk input
             args = (
-                params_stage, head_params, h_in, posb_b,
-                idx(vid_m, m_bc), idx(txt_m, m_bc),
+                p_slot_b, head_params, h_saved, posb_b,
+                idx(vid_m, m_b), idx(txt_m, m_b),
             )
             loss_mb, vjp, metrics_mb = jax.vjp(
                 lambda p, ph, h, pb, vb, tb: f_last(
                     p, ph, h, pb, vb, tb,
-                    kmask_b, idx(vmask_m, m_bc), idx(tmask_m, m_bc),
-                    t_mb, m_bc,
+                    kmask_b, idx(vmask_m, m_b), idx(tmask_m, m_b),
+                    t_mb, m_b,
                 ),
                 *args,
                 has_aux=True,
@@ -363,10 +453,9 @@ def _1f1b_stage_fn(
             return dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb
 
         def bwd_mid():
-            h_saved = idx(buf, m_bc % buf_n)
             _, vjp = jax.vjp(
-                lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_bc),
-                params_stage, h_saved, posb_b,
+                lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
+                p_slot_b, h_saved, posb_b,
             )
             dP, dh, dpos = vjp(bwd_ring)
             return (
@@ -375,35 +464,43 @@ def _1f1b_stage_fn(
                 jnp.zeros((), jnp.float32), zero_metrics,
             )
 
+        is_last_b = jnp.logical_and(s == pp - 1, j_b == v - 1)
         dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb = jax.lax.cond(
-            s == pp - 1, bwd_last, bwd_mid
+            is_last_b, bwd_last, bwd_mid
         )
 
-        d_layers = _tree_add_masked(d_layers, dP, act_b)
+        # accumulate the slot's layer grads into its slice of the device's
+        # stacked-grad buffer
+        def acc_slot(d_leaf, g_leaf):
+            cur = jax.lax.dynamic_slice_in_dim(d_leaf, j_b * Lc, Lc, 0)
+            upd = jnp.where(act_b, cur + g_leaf, cur)
+            return jax.lax.dynamic_update_slice_in_dim(d_leaf, upd, j_b * Lc, 0)
+
+        d_layers = jax.tree_util.tree_map(acc_slot, d_layers, dP)
         d_heads = _tree_add_masked(d_heads, dH, act_b)
-        write_src = act_b & (s == 0)
+        write_src = act_b & (s == 0) & (j_b == 0)
         d_src = _tree_where(
             write_src,
-            jax.lax.dynamic_update_index_in_dim(d_src, dh, m_bc, 0),
+            jax.lax.dynamic_update_index_in_dim(d_src, dh, m_b, 0),
             d_src,
         )
         if need_pos_grad:
             d_pos = _tree_where(
                 act_b,
                 jax.lax.dynamic_update_index_in_dim(
-                    d_pos, idx(d_pos, m_bc) + dpos, m_bc, 0
+                    d_pos, idx(d_pos, m_b) + dpos, m_b, 0
                 ),
                 d_pos,
             )
-        write_last = act_b & (s == pp - 1)
+        write_last = act_b & is_last_b
         d_vid = _tree_where(
             write_last,
-            jax.lax.dynamic_update_index_in_dim(d_vid, dv, m_bc, 0),
+            jax.lax.dynamic_update_index_in_dim(d_vid, dv, m_b, 0),
             d_vid,
         )
         d_txt = _tree_where(
             write_last,
-            jax.lax.dynamic_update_index_in_dim(d_txt, dt, m_bc, 0),
+            jax.lax.dynamic_update_index_in_dim(d_txt, dt, m_b, 0),
             d_txt,
         )
         loss_acc = loss_acc + jnp.where(write_last, loss_mb, 0.0)
@@ -426,7 +523,7 @@ def _1f1b_stage_fn(
     carry0 = (
         jnp.zeros(mb_shape, src_m.dtype),          # fwd ring
         jnp.zeros(mb_shape, src_m.dtype),          # bwd ring
-        jnp.zeros((buf_n,) + mb_shape, src_m.dtype),  # saved chunk inputs
+        jnp.zeros((v * buf_n,) + mb_shape, src_m.dtype),  # saved chunk inputs
         _tree_zeros(params_stage),                 # layer grads
         zero_d_heads,                              # head grads
         jnp.zeros_like(src_m),                     # d_src
@@ -438,7 +535,7 @@ def _1f1b_stage_fn(
     )
     (_, _, _, d_layers, d_heads, d_src, d_pos, d_vid, d_txt,
      loss_acc, metrics_acc) = jax.lax.scan(
-        tick, carry0, jnp.arange(pipeline_1f1b_ticks(M, pp))
+        tick, carry0, jnp.arange(pipeline_1f1b_ticks(M, pp, v))
     )[0]
 
     # reductions: loss/metrics/head grads live on the last stage only

@@ -61,9 +61,11 @@ def make_1f1b_train_step(
     Requirements (validated eagerly): ``cfg.scan_layers`` (the stacked
     ``encoder/layers/layer`` checkpoint layout the engine shards),
     ``cfg.pre_norm=False`` (a trailing final_norm is not part of the staged
-    stack), canonical layer order (``pipeline_pre_permuted=False`` --
-    1F1B stages are contiguous chunks, no interleaving), and an active
-    (dp, pp) mesh at call time (tp=1; enforced by the engine). The
+    stack), and an active (dp, pp) mesh at call time (tp=1; enforced by
+    the engine). ``cfg.pipeline_interleave > 1`` runs the interleaved
+    1F1B schedule (bubble time / v); the training state should then be in
+    device-major chunk order (``cfg.pipeline_pre_permuted``, managed by
+    the driver) or the engine gathers the permutation per step. The
     class-bank TAL inputs (``src_cls``) are not supported on this path.
 
     n_micro: microbatch count M (0 -> cfg.pipeline_microbatches or
@@ -81,11 +83,10 @@ def make_1f1b_train_step(
             "make_1f1b_train_step supports post-norm encoders only (a "
             "pre-norm final LayerNorm is not part of the staged layer stack)"
         )
-    if cfg.pipeline_pre_permuted or cfg.pipeline_interleave > 1:
+    if cfg.pipeline_pre_permuted and cfg.pipeline_interleave <= 1:
         raise ValueError(
-            "1F1B runs contiguous stages in canonical layer order; unset "
-            "pipeline_interleave/pipeline_pre_permuted (those belong to the "
-            "interleaved GPipe schedule, parallel/pipeline.py)"
+            "pipeline_pre_permuted without pipeline_interleave > 1 is "
+            "meaningless (device-major == canonical order at v=1)"
         )
     M = n_micro or cfg.pipeline_microbatches or cfg.pipeline_stages
     if M < 1:
@@ -182,6 +183,8 @@ def make_1f1b_train_step(
             rng_dropout=drop_rng,
             rng_droppath=path_rng,
             need_pos_grad=cfg.use_txt_pos,
+            interleave=cfg.pipeline_interleave,
+            pre_permuted=cfg.pipeline_pre_permuted,
         )
         if d_pos is None:
             d_pos = jnp.zeros_like(pos)
