@@ -156,19 +156,23 @@ def _make_ref_step(model, opt, weights, n_blocks):
 
 
 @pytest.mark.parametrize(
-    "pp,dp,n_micro,B,kw",
+    "pp,dp,tp,n_micro,B,kw",
     [
-        (2, 2, 4, 8, {}),                      # canonical
-        (2, 1, 8, 8, {}),                      # M=8 > 2*pp=4: ring slots reused
-        (4, 1, 4, 8, {"num_layers": 8}),       # 4 stages, deeper stack
-        (2, 1, 1, 4, {}),                      # M=1 degenerate
-        (2, 2, 4, 8, {"use_txt_pos": True}),   # trainable text pos cotangent
+        (2, 2, 1, 4, 8, {}),                   # canonical
+        (2, 1, 1, 8, 8, {}),                   # M=8 > 2*pp=4: ring slots reused
+        (4, 1, 1, 4, 8, {"num_layers": 8}),    # 4 stages, deeper stack
+        (2, 1, 1, 1, 4, {}),                   # M=1 degenerate
+        (2, 2, 1, 4, 8, {"use_txt_pos": True}),  # trainable text pos cotangent
         # interleaved 1F1B (v>1): canonical-order params, engine gathers
-        (2, 1, 4, 8, {"num_layers": 8, "pipeline_interleave": 2}),
-        (2, 2, 6, 12, {"num_layers": 8, "pipeline_interleave": 4}),
+        (2, 1, 1, 4, 8, {"num_layers": 8, "pipeline_interleave": 2}),
+        (2, 2, 1, 6, 12, {"num_layers": 8, "pipeline_interleave": 4}),
+        # 1F1B x tp: Megatron feature-sharded stacked matrices ride the
+        # engine's AUTO tp axis (pp x tp specs, parallel/mesh.py)
+        (2, 1, 2, 4, 8, {}),
+        (2, 2, 2, 4, 8, {"num_layers": 8, "pipeline_interleave": 2}),
     ],
 )
-def test_1f1b_training_matches_microbatched_autodiff(pp, dp, n_micro, B, kw):
+def test_1f1b_training_matches_microbatched_autodiff(pp, dp, tp, n_micro, B, kw):
     """Three coupled optimizer steps: the 1F1B trajectory (losses AND final
     params) equals plain autodiff of the microbatched-loss on one device."""
     cfg = ModelConfig(**{**_MODEL_KW, **kw})
@@ -184,7 +188,7 @@ def test_1f1b_training_matches_microbatched_autodiff(pp, dp, n_micro, B, kw):
         state_ref, loss, _ = ref_step(state_ref, mi, tg, jax.random.PRNGKey(1))
         ref_losses.append(float(loss))
 
-    mesh = make_mesh(dp=dp, pp=pp, tp=1, devices=jax.devices()[: dp * pp])
+    mesh = make_mesh(dp=dp, pp=pp, tp=tp, devices=jax.devices()[: dp * pp * tp])
     state = init_state(model, cfg, opt, jax.random.PRNGKey(0))
     state = state.replace(
         params=jax.device_put(state.params, param_shardings(mesh, state.params))

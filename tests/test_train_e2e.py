@@ -197,10 +197,11 @@ def test_train_pipelined_interleaved_driver(corpus, tmp_path):
     assert np.isfinite(lines[-1]["loss_overall"])
 
 
-@pytest.mark.parametrize("interleave", [1, 2])
-def test_train_1f1b_driver(corpus, tmp_path, interleave):
-    """End-to-end pipeline_schedule='1f1b' driver run (v=1 and the
-    interleaved v=2 schedule on the driver-managed device-major state):
+@pytest.mark.parametrize("interleave,dp,tp", [(1, 4, 1), (2, 4, 1), (1, 2, 2)])
+def test_train_1f1b_driver(corpus, tmp_path, interleave, dp, tp):
+    """End-to-end pipeline_schedule='1f1b' driver run (v=1, the
+    interleaved v=2 schedule on the driver-managed device-major state,
+    and the 1f1b x tp composition on a (dp=2, pp=2, tp=2) mesh):
     trains, learns, saves artifacts, and evaluates (eval decodes through
     the forward/GPipe path -- the schedule choice only affects training).
     The logged loss is the mean of per-(microbatch x dp-shard) losses
@@ -209,7 +210,7 @@ def test_train_1f1b_driver(corpus, tmp_path, interleave):
     gradients against that definition."""
     import dataclasses
 
-    results = str(tmp_path / f"f1b{interleave}")
+    results = str(tmp_path / f"f1b{interleave}_{dp}_{tp}")
     base = make_cfg(corpus, results)
     model = dataclasses.replace(
         base.model,
@@ -218,7 +219,7 @@ def test_train_1f1b_driver(corpus, tmp_path, interleave):
         pipeline_interleave=interleave,
     )
     cfg = dataclasses.replace(
-        base, model=model, pp=2, dp=4, tp=1, pipeline_schedule="1f1b",
+        base, model=model, pp=2, dp=dp, tp=tp, pipeline_schedule="1f1b",
         n_epoch=2, eval_epoch=2,
     )
     metrics, best_path = train_mr(cfg)
@@ -254,12 +255,7 @@ def test_train_pp_config_validation(corpus, tmp_path):
     with pytest.raises(ValueError, match="pipeline_schedule"):
         train_mr(dataclasses.replace(good, pipeline_schedule="zigzag"))
     # 1f1b constraint violations fail up front with a named error
-    with pytest.raises(ValueError, match="1f1b"):
-        train_mr(
-            dataclasses.replace(
-                good, pipeline_schedule="1f1b", tp=2, dp=2
-            )
-        )
+    # (tp > 1 is NOT one: 1f1b composes with tp via the engine's AUTO axis)
     with pytest.raises(ValueError, match="1f1b"):
         train_mr(dataclasses.replace(good, pipeline_schedule="1f1b", scan_steps=4))
 

@@ -130,12 +130,21 @@ _TP_RULES = (
 # pipeline layout: EVERY leaf under the stacked scan subtree (matrices,
 # biases, norm scales) carries the layer axis first -> shard it over pp so
 # each stage holds only its own layers (parallel/pipeline.py consumes the
-# local slices through shard_map in_specs=P("pp"))
+# local slices through shard_map in_specs=P("pp")). With tp > 1 as well,
+# the stacked matrices compose BOTH: P("pp") on the layer axis plus the
+# Megatron tp spec on the feature dims (the scan-layout _TP_RULES already
+# lead with None for the layer axis) -- the pipeline engines run tp as an
+# AUTO shard_map axis, so XLA's sharding propagation inserts the Megatron
+# pair collectives inside each stage's chunk.
 _PP_SCAN_LEAF = re.compile(r"encoder/layers/layer/")
 
 
-def _spec_for_path(path: str, pp_active: bool = False):
+def _spec_for_path(path: str, pp_active: bool = False, tp_active: bool = False):
     if pp_active and _PP_SCAN_LEAF.search(path):
+        if tp_active:
+            for rule, spec in _TP_RULES:
+                if rule.search(path):
+                    return P("pp", *spec[1:])
         return P("pp")
     for rule, spec in _TP_RULES:
         if rule.search(path):
@@ -145,9 +154,11 @@ def _spec_for_path(path: str, pp_active: bool = False):
 
 def param_shardings(mesh: Mesh, params):
     """Pytree of NamedShardings: tp-sharded encoder matrices (or pp-sharded
-    stacked layers when the mesh has a pp axis > 1), rest replicated."""
+    -- pp x tp-sharded when both axes are active -- stacked layers when the
+    mesh has a pp axis > 1), rest replicated."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     pp_active = dict(mesh.shape).get("pp", 1) > 1
+    tp_active = dict(mesh.shape).get("tp", 1) > 1
 
     def path_str(path):
         return "/".join(
@@ -155,7 +166,8 @@ def param_shardings(mesh: Mesh, params):
         )
 
     specs = {
-        path_str(p): _spec_for_path(path_str(p), pp_active) for p, _ in flat
+        path_str(p): _spec_for_path(path_str(p), pp_active, tp_active)
+        for p, _ in flat
     }
 
     def assign(path, leaf):

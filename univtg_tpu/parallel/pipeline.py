@@ -224,8 +224,6 @@ def pipeline_layers(
       (B, T, D) encoder output, replicated over ``pp`` (psum on the last
       stage's collected microbatches).
     """
-    from jax.experimental.shard_map import shard_map
-
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or not mesh.shape or axis not in mesh.shape:
         raise ValueError(
@@ -287,13 +285,18 @@ def pipeline_layers(
         axis=axis,
         remat=remat,
     )
+    # manual over (dp, pp) only: every other mesh axis (tp) stays AUTO, so
+    # tp-sharded stacked matrices (parallel/mesh.py pp x tp specs) keep
+    # their feature-dim sharding inside the body and XLA's propagation
+    # inserts the Megatron pair collectives within each stage's chunk
     spec_x = P(None, "dp", None, None)
-    out = shard_map(
+    out = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(axis), spec_x, P(None, "dp", None), spec_x, P(), P()),
         out_specs=spec_x,
-        check_rep=False,
+        axis_names=frozenset({"dp", axis}),
+        check_vma=False,
     )(stacked_params, xm, km, pm, rng_dropout, rng_droppath)
     return out.reshape(B, T, D)
 

@@ -210,8 +210,6 @@ def pipeline_1f1b(
     cotangents (B, ...) for the caller's ``pre``-phase vjp.
     ``loss``/``metrics`` are the global (M x dp)-mean.
     """
-    from jax.experimental.shard_map import shard_map
-
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or not mesh.shape or axis not in mesh.shape:
         raise ValueError(
@@ -221,11 +219,6 @@ def pipeline_1f1b(
     pp = mesh.shape[axis]
     if pp < 2:
         raise ValueError(f"pipeline_1f1b needs pp >= 2 (mesh has {axis}={pp})")
-    if mesh.shape.get("tp", 1) != 1:
-        raise ValueError(
-            "pipeline_1f1b supports (dp, pp) meshes only; set tp=1 (tensor-"
-            "parallel layer shards inside a manual-vjp stage are not wired)"
-        )
     v = max(1, interleave)
     num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if num_layers % (pp * v) != 0:
@@ -276,10 +269,17 @@ def pipeline_1f1b(
         train=train,
         need_pos_grad=need_pos_grad,
         axis=axis,
+        # tp rides the shard_map as an AUTO axis; with tp > 1 the tick body
+        # must be collective-uniform (no lax.cond around tp collectives)
+        uniform=mesh.shape.get("tp", 1) > 1,
     )
+    # manual over (dp, pp) only: every other mesh axis (tp) stays AUTO, so
+    # tp-sharded stacked matrices (parallel/mesh.py pp x tp specs) keep
+    # their feature-dim sharding through the per-chunk jax.vjp and XLA's
+    # propagation inserts the Megatron pair collectives inside each tick
     row = P(None, "dp")
     d_pos_spec = (row,) if need_pos_grad else ()
-    out = shard_map(
+    out = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(
@@ -292,7 +292,8 @@ def pipeline_1f1b(
             P(), P(),       # rng keys
         ),
         out_specs=(P(), P(), P(axis), P(), row) + d_pos_spec + (row, row),
-        check_rep=False,
+        axis_names=frozenset({"dp", axis}),
+        check_vma=False,
     )(
         stacked_params, head_params, src_m, mask_m, pos_m,
         vid_m, txt_m, vmask_m, tmask_m, targets_m,
@@ -328,7 +329,7 @@ def _1f1b_stage_fn(
     params_stage, head_params, src_m, mask_m, pos_m,
     vid_m, txt_m, vmask_m, tmask_m, targets_m, rng_dropout, rng_droppath,
     *, layer, heads_apply, loss_fn, pp, v, dp, n_micro, num_layers, train,
-    need_pos_grad, axis,
+    need_pos_grad, axis, uniform=False,
 ):
     """Per-device 1F1B body. ``params_stage`` holds this device's
     ``v * (num_layers/(pp*v))`` layer slice in slot-major chunk order (at
@@ -416,16 +417,25 @@ def _1f1b_stage_fn(
             buf,
         )
         # the last chunk's forward output is only consumed through its own
-        # backward recompute -- skip the dead compute
+        # backward recompute -- skip the dead compute. In uniform mode the
+        # chunk runs unconditionally (collective-uniform ticks; see below):
+        # its output permutes to device 0, whose only coinciding consumer
+        # is the inject slot (j=0 on s=0), which ignores the ring.
         is_last_f = jnp.logical_and(s == pp - 1, j_f == v - 1)
-        h_out = jax.lax.cond(
-            is_last_f,
-            lambda: jnp.zeros_like(h_in),
-            lambda: chunk_fwd(
+        if uniform:
+            h_out = chunk_fwd(
                 slot_params(j_f), h_in, idx(mask_m, m_f), idx(pos_m, m_f),
                 m_f, j_f,
-            ),
-        )
+            )
+        else:
+            h_out = jax.lax.cond(
+                is_last_f,
+                lambda: jnp.zeros_like(h_in),
+                lambda: chunk_fwd(
+                    slot_params(j_f), h_in, idx(mask_m, m_f), idx(pos_m, m_f),
+                    m_f, j_f,
+                ),
+            )
 
         # ---- backward phase: device s runs chunk slot j_b, microbatch m_b
         act_b, j_b, m_b = _sched_bwd_traced(t, s, pp=pp, v=v, n_micro=M)
@@ -464,10 +474,47 @@ def _1f1b_stage_fn(
                 jnp.zeros((), jnp.float32), zero_metrics,
             )
 
+        def bwd_uniform():
+            """Collective-uniform backward (tp > 1): every device runs the
+            SAME op sequence every tick -- one chunk vjp, then one
+            heads+loss vjp -- and a ``where`` selects the ring cotangent
+            vs the loss cotangent. ``lax.cond`` branches would put the
+            auto-axis (tp) collectives under device-divergent control
+            flow: the partitioner cannot prove each branch uniform per tp
+            subgroup, and the mismatched collective schedules deadlock
+            cross-device (observed as a rendezvous timeout on XLA:CPU).
+            Extra cost vs the cond path: the small heads+loss fwd/bwd per
+            tick on every device (masked out except on the last chunk)."""
+            mem, vjp_chunk = jax.vjp(
+                lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
+                p_slot_b, h_saved, posb_b,
+            )
+
+            def f_heads(ph, mem_, vb, tb):
+                outputs = heads_apply(
+                    ph, mem_, vb, tb, idx(vmask_m, m_b), idx(tmask_m, m_b)
+                )
+                loss, metrics = loss_fn(outputs, t_mb)
+                return loss * inv, jax.tree_util.tree_map(
+                    lambda x: x * inv, metrics
+                )
+
+            loss_mb, vjp_heads, metrics_mb = jax.vjp(
+                f_heads, head_params, mem, idx(vid_m, m_b), idx(txt_m, m_b),
+                has_aux=True,
+            )
+            dH, d_mem, dv, dt = vjp_heads(jnp.ones((), jnp.float32))
+            cot = jnp.where(is_last_b, d_mem, bwd_ring)
+            dP, dh, dpos = vjp_chunk(cot)
+            return dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb
+
         is_last_b = jnp.logical_and(s == pp - 1, j_b == v - 1)
-        dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb = jax.lax.cond(
-            is_last_b, bwd_last, bwd_mid
-        )
+        if uniform:
+            dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb = bwd_uniform()
+        else:
+            dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb = jax.lax.cond(
+                is_last_b, bwd_last, bwd_mid
+            )
 
         # accumulate the slot's layer grads into its slice of the device's
         # stacked-grad buffer
@@ -477,7 +524,12 @@ def _1f1b_stage_fn(
             return jax.lax.dynamic_update_slice_in_dim(d_leaf, upd, j_b * Lc, 0)
 
         d_layers = jax.tree_util.tree_map(acc_slot, d_layers, dP)
-        d_heads = _tree_add_masked(d_heads, dH, act_b)
+        write_last = act_b & is_last_b
+        # cond path: bwd_mid returns zero dH, so act_b masking suffices;
+        # uniform path: dH is garbage off the last chunk -- mask tighter
+        d_heads = _tree_add_masked(
+            d_heads, dH, write_last if uniform else act_b
+        )
         write_src = act_b & (s == 0) & (j_b == 0)
         d_src = _tree_where(
             write_src,
@@ -492,7 +544,6 @@ def _1f1b_stage_fn(
                 ),
                 d_pos,
             )
-        write_last = act_b & is_last_b
         d_vid = _tree_where(
             write_last,
             jax.lax.dynamic_update_index_in_dim(d_vid, dv, m_b, 0),
@@ -506,10 +557,17 @@ def _1f1b_stage_fn(
         loss_acc = loss_acc + jnp.where(write_last, loss_mb, 0.0)
         metrics_acc = _tree_add_masked(metrics_acc, metrics_mb, write_last)
 
-        # ring transfers: activations s -> s+1, cotangents s -> s-1
+        # ring transfers: activations s -> s+1, cotangents s -> s-1.
+        # The barrier imposes a TOTAL ORDER between the two independent
+        # collective-permutes: under partial-auto execution (tp as an AUTO
+        # axis) the cond branches above contain device-divergent tp
+        # collectives, and a concurrent thunk executor may otherwise start
+        # the two permutes in a different order on different devices --
+        # a cross-device rendezvous deadlock (observed on XLA:CPU).
         fwd_ring = jax.lax.ppermute(
             h_out, axis, [(i, (i + 1) % pp) for i in range(pp)]
         )
+        fwd_ring, dh = jax.lax.optimization_barrier((fwd_ring, dh))
         bwd_ring = jax.lax.ppermute(
             dh, axis, [(i, (i - 1) % pp) for i in range(pp)]
         )

@@ -253,10 +253,10 @@ def train_mr(
     if cfg.pipeline_schedule == "1f1b":
         # constraints come from the manual-vjp engine (steps_1f1b.py);
         # caught here so a misconfigured run fails before data loading
-        if cfg.tp != 1 or cfg.model.pre_norm or cfg.scan_steps > 1:
+        if cfg.model.pre_norm or cfg.scan_steps > 1:
             raise ValueError(
-                "pipeline_schedule='1f1b' needs tp=1, pre_norm=False, "
-                "scan_steps=1 (use the gpipe schedule for tp combinations)"
+                "pipeline_schedule='1f1b' needs pre_norm=False and "
+                "scan_steps=1"
             )
     mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp)
     n_micro = cfg.model.pipeline_microbatches or cfg.pp

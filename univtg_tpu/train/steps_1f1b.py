@@ -61,8 +61,11 @@ def make_1f1b_train_step(
     Requirements (validated eagerly): ``cfg.scan_layers`` (the stacked
     ``encoder/layers/layer`` checkpoint layout the engine shards),
     ``cfg.pre_norm=False`` (a trailing final_norm is not part of the staged
-    stack), and an active (dp, pp) mesh at call time (tp=1; enforced by
-    the engine). ``cfg.pipeline_interleave > 1`` runs the interleaved
+    stack), and an active mesh with a pp axis at call time. tp > 1
+    composes: the engine runs tp as an AUTO shard_map axis, so the
+    pp x tp-sharded stacked matrices (parallel/mesh.py) keep their
+    Megatron feature sharding through the per-chunk vjps.
+    ``cfg.pipeline_interleave > 1`` runs the interleaved
     1F1B schedule (bubble time / v); the training state should then be in
     device-major chunk order (``cfg.pipeline_pre_permuted``, managed by
     the driver) or the engine gathers the permutation per step. The
