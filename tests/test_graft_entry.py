@@ -40,6 +40,10 @@ def test_dryrun_multichip_bootstraps_from_one_device():
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("_UNIVTG_DRYRUN_CHILD", None)
+    # the bootstrap re-exec is what's under test; phase 1 alone proves it
+    # (the flagship/pipeline/moe phases run in the inline test above and
+    # would push this subprocess past its timeout on a contended host)
+    env["UNIVTG_DRYRUN_PHASES"] = "1"
     code = (
         "import os, sys; sys.path.insert(0, sys.argv[1]); "
         "os.environ['JAX_PLATFORMS'] = 'cpu'; "

@@ -1,0 +1,268 @@
+"""Mixture-of-Experts FFN (ops/moe.py) + expert parallelism ("ep" mesh axis).
+
+Beyond-parity feature: the reference ships a dense FFN only
+(model/transformer_encoder_droppath.py:95-101). Pins:
+  * dispatch/combine einsum routing == a naive per-token top-k reference
+    (values AND gradients),
+  * capacity overflow drops tokens to zero (residual carries them),
+  * padded tokens are excluded from routing, capacity, and the aux loss,
+  * the Switch load-balance aux loss hits its analytic extremes,
+  * ep-sharded training == single-device training (same seeds/data),
+  * MoE + pipeline parallelism is rejected,
+  * eval-mode forward needs no mutable collections.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from univtg_tpu.models import ModelConfig, UniVTG
+from univtg_tpu.models.losses import LossWeights
+from univtg_tpu.ops.moe import moe_capacity, moe_ffn, moe_routing
+from univtg_tpu.parallel import make_mesh, replicate_params, shard_batch
+from univtg_tpu.train.steps import init_state, make_optimizer, make_train_step
+
+
+def _rand_moe(seed=0, d=8, f=16, e=4):
+    rng = np.random.default_rng(seed)
+    return (
+        (rng.standard_normal((d, e)) * 0.3).astype(np.float32),
+        (rng.standard_normal((e, d, f)) * 0.2).astype(np.float32),
+        (rng.standard_normal((e, f)) * 0.05).astype(np.float32),
+        (rng.standard_normal((e, f, d)) * 0.2).astype(np.float32),
+        (rng.standard_normal((e, d)) * 0.05).astype(np.float32),
+    )
+
+
+def naive_moe(x2d, rk, w1, b1, w2, b2, top_k):
+    """Per-token gather reference (the torch-style implementation the
+    einsum dispatch replaces). No capacity: callers use a capacity_factor
+    large enough that nothing is dropped."""
+    probs = jax.nn.softmax(x2d @ rk, axis=-1)
+    idx = jnp.argsort(-probs, axis=-1)[:, :top_k]
+    g = jnp.take_along_axis(probs, idx, axis=-1)
+    g = g / jnp.sum(g, axis=-1, keepdims=True)
+    out = jnp.zeros_like(x2d)
+    for j in range(top_k):
+        e = idx[:, j]
+        h = jnp.einsum("nd,ndf->nf", x2d, w1[e]) + b1[e]
+        h = jax.nn.gelu(h, approximate=False)
+        out = out + g[:, j : j + 1] * (
+            jnp.einsum("nf,nfd->nd", h, w2[e]) + b2[e]
+        )
+    return out
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_ffn_matches_naive_topk(top_k):
+    rk, w1, b1, w2, b2 = _rand_moe()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 5, 8)).astype(np.float32)
+    y, _ = moe_ffn(
+        jnp.asarray(x), rk, w1, b1, w2, b2, top_k=top_k, capacity_factor=8.0
+    )
+    yn = naive_moe(jnp.asarray(x).reshape(-1, 8), rk, w1, b1, w2, b2, top_k)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(-1, 8), np.asarray(yn), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_grad_matches_naive(top_k):
+    rk, w1, b1, w2, b2 = _rand_moe(seed=2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8)).astype(np.float32))
+
+    def loss_einsum(params):
+        y, _ = moe_ffn(
+            x, params["rk"], params["w1"], b1, params["w2"], b2,
+            top_k=top_k, capacity_factor=8.0,
+        )
+        return jnp.mean(y**2)
+
+    def loss_naive(params):
+        y = naive_moe(
+            x.reshape(-1, 8), params["rk"], params["w1"], b1, params["w2"], b2,
+            top_k,
+        )
+        return jnp.mean(y**2)
+
+    params = {"rk": jnp.asarray(rk), "w1": jnp.asarray(w1), "w2": jnp.asarray(w2)}
+    g_e = jax.grad(loss_einsum)(params)
+    g_n = jax.grad(loss_naive)(params)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_e[k]), np.asarray(g_n[k]), atol=1e-5, err_msg=k
+        )
+
+
+def test_moe_capacity_drops_overflow():
+    """All 10 tokens route to expert 0; capacity 8 -> the LAST 2 rows of the
+    dispatch/combine tensors are zero (tokens pass through on the residual),
+    and counts saturate at capacity."""
+    n, e = 10, 4
+    probs = np.zeros((n, e), np.float32)
+    probs[:, 0] = 1.0
+    dispatch, combine, aux = moe_routing(jnp.asarray(probs), e, 1, 8)
+    d = np.asarray(dispatch)
+    assert d[:8].sum() == 8  # first 8 tokens each dispatched once
+    assert d[8:].sum() == 0  # overflow dropped
+    assert np.asarray(combine)[8:].sum() == 0
+    # fully imbalanced top-1 -> aux = E * (1 * 1) = E
+    np.testing.assert_allclose(float(aux), e, rtol=1e-6)
+
+
+def test_moe_token_mask_excludes_padding():
+    """Masked (padding) tokens must not be dispatched, must not consume
+    capacity, and must not move the aux loss."""
+    n, e = 8, 2
+    probs = np.full((n, e), 0.5, np.float32)
+    probs[:, 0] = 0.9
+    probs[:, 1] = 0.1
+    mask = np.ones((n,), np.float32)
+    mask[4:] = 0.0
+    cap = 4
+    dispatch, _, aux = moe_routing(
+        jnp.asarray(probs), e, 1, cap, token_mask=jnp.asarray(mask)
+    )
+    d = np.asarray(dispatch)
+    assert d[4:].sum() == 0  # padding never dispatched
+    assert d[:4].sum() == 4  # all 4 real tokens fit: pads took no capacity
+    # all routed tokens pick expert 0 -> f=(1,0), p=(0.9,0.1): aux = 2*0.9
+    np.testing.assert_allclose(float(aux), 2 * 0.9, rtol=1e-6)
+
+
+def test_moe_aux_balanced_is_one():
+    n, e = 16, 4
+    rng = np.random.default_rng(4)
+    probs = np.full((n, e), 1.0 / e, np.float32)
+    # break argmax ties deterministically: token i prefers expert i%e by eps
+    probs[np.arange(n), np.arange(n) % e] += 1e-4
+    probs /= probs.sum(-1, keepdims=True)
+    _, _, aux = moe_routing(jnp.asarray(probs), e, 1, moe_capacity(n, e, 1, 1.25))
+    np.testing.assert_allclose(float(aux), 1.0, rtol=1e-3)
+
+
+def _batch(B=8, Lv=16, Lt=6, vid_dim=34, txt_dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = np.tile(
+        ((np.arange(Lv) + 1.0) / Lv)[None, :, None], (B, 1, 2)
+    ).astype(np.float32)
+    window = np.zeros((B, Lv), np.float32)
+    window[:, 3:8] = 1
+    nn = np.zeros((B, Lv, 2), np.float32)
+    nn[:, :, 0], nn[:, :, 1] = 3 / Lv, 8 / Lv
+    mi = {
+        "src_txt": rng.standard_normal((B, Lt, txt_dim)).astype(np.float32),
+        "src_txt_mask": np.ones((B, Lt), np.float32),
+        "src_vid": rng.standard_normal((B, Lv, vid_dim)).astype(np.float32),
+        "src_vid_mask": np.ones((B, Lv), np.float32),
+    }
+    tg = {
+        "timestamp": ts,
+        "timestamp_mask": np.ones((B, Lv), np.float32),
+        "timestamp_window": window,
+        "span_labels_nn": nn,
+        "saliency_scores": rng.uniform(0, 1, (B, Lv)).astype(np.float32),
+        "saliency_pos_labels": np.full((B, 1), 4, np.int32),
+    }
+    return mi, tg
+
+
+def _moe_cfg(**kw):
+    base = dict(
+        vid_dim=34, txt_dim=16, hidden_dim=64, num_layers=2, num_heads=4,
+        ffn_dim=96, dropout=0.0, droppath=0.0, input_dropout=0.0,
+        max_v_l=16, max_q_l=6, moe_experts=4, moe_top_k=2, scan_layers=True,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_moe_ep_sharded_training_matches_single_device():
+    """dp=2 x ep=2 x tp=2 MoE training == single-device training: identical
+    loss trajectory (incl. the aux term) and final params."""
+    cfg = _moe_cfg()
+    model = UniVTG(cfg)
+    optimizer = optax.sgd(1e-2)  # same rationale as test_spmd_equivalence
+    weights = LossWeights()
+
+    def run(dp, tp, ep, n_steps=3):
+        mesh = make_mesh(dp=dp, tp=tp, ep=ep)
+        state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+        state = state.replace(params=replicate_params(mesh, state.params))
+        step = make_train_step(model, optimizer, weights, donate=False)
+        losses, aux = [], []
+        with jax.set_mesh(mesh):
+            for i in range(n_steps):
+                mi, tg = _batch(seed=i)
+                mi, tg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+                state, metrics = step(state, mi, tg, jax.random.PRNGKey(1))
+                losses.append(float(metrics["loss_overall"]))
+                aux.append(float(metrics["loss_moe_aux"]))
+            jax.block_until_ready(state.params)
+        return losses, aux, state
+
+    base_losses, base_aux, base_state = run(1, 1, 1)
+    sh_losses, sh_aux, sh_state = run(2, 2, 2)
+    np.testing.assert_allclose(sh_losses, base_losses, rtol=2e-5)
+    np.testing.assert_allclose(sh_aux, base_aux, rtol=2e-5)
+    # expert kernels really live on the ep axis
+    spec = sh_state.params["encoder"]["layers"]["layer"]["moe_w1"].sharding.spec
+    assert "ep" in spec, spec
+    for a, b in zip(
+        jax.tree_util.tree_leaves(base_state.params),
+        jax.tree_util.tree_leaves(sh_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_moe_training_learns_and_reports_aux():
+    cfg = _moe_cfg()
+    model = UniVTG(cfg)
+    optimizer = make_optimizer(lambda s: 5e-4)
+    state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, LossWeights(), donate=False)
+    mi, tg = _batch(seed=0)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, mi, tg, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss_overall"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(float(metrics["loss_moe_aux"]))
+
+
+def test_moe_pipeline_rejected():
+    cfg = _moe_cfg(pipeline_stages=2, num_layers=4)
+    model = UniVTG(cfg)
+    mi, _ = _batch(B=2)
+    with pytest.raises(ValueError, match="moe_experts"):
+        model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(mi["src_txt"]),
+            jnp.asarray(mi["src_txt_mask"]),
+            jnp.asarray(mi["src_vid"]),
+            jnp.asarray(mi["src_vid_mask"]),
+            train=False,
+        )
+
+
+@pytest.mark.parametrize("scan_layers", [False, True])
+def test_moe_eval_forward_no_mutable(scan_layers):
+    """Eval-mode apply works without mutable collections (sow is a no-op)
+    and both layer layouts produce identical outputs from the same stacked
+    params (scan <-> unrolled interchange, incl. the MoE leaves)."""
+    cfg = _moe_cfg(scan_layers=scan_layers)
+    model = UniVTG(cfg)
+    mi, _ = _batch(B=2)
+    args = (
+        jnp.asarray(mi["src_txt"]),
+        jnp.asarray(mi["src_txt_mask"]),
+        jnp.asarray(mi["src_vid"]),
+        jnp.asarray(mi["src_vid_mask"]),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args, train=False)["params"]
+    out = model.apply({"params": params}, *args, train=False)
+    assert np.isfinite(np.asarray(out["saliency_scores"])).all()

@@ -333,3 +333,68 @@ def test_profile_dir_captures_device_trace(corpus, tmp_path):
     for root, _, files in os.walk(prof):
         captured.extend(os.path.join(root, f) for f in files)
     assert captured, f"no profiler artifacts under {prof}"
+
+
+def test_train_moe_ep_driver(corpus, tmp_path):
+    """MoE encoder trained through the full driver on a dp=2 x ep=2 x tp=2
+    mesh: learns, logs the aux loss, and the saved checkpoint restores into
+    a vanilla (unsharded) eval host."""
+    import dataclasses
+
+    results = str(tmp_path / "run_moe")
+    cfg = make_cfg(corpus, results, ep=2)
+    cfg = dataclasses.replace(cfg, dp=2, tp=2)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, moe_experts=4, moe_top_k=2, scan_layers=True
+        ),
+    )
+    metrics, best_path = train_mr(cfg)
+    assert os.path.exists(best_path)
+    lines = [
+        json.loads(l) for l in open(os.path.join(results, "train_log.jsonl"))
+    ]
+    assert len(lines) == 3
+    assert lines[-1]["loss_overall"] < lines[0]["loss_overall"]
+    assert all(np.isfinite(l["loss_moe_aux"]) for l in lines)
+    assert metrics["brief"]["MR-full-mIoU-key"] > 5.0
+
+    # checkpoint restores off-mesh (expert kernels are ordinary leaves)
+    from univtg_tpu.models import UniVTG
+    from univtg_tpu.train import checkpoint as ckpt_io
+    from univtg_tpu.train.steps import init_state, make_optimizer
+
+    model = UniVTG(cfg.model)
+    fresh = init_state(
+        model, cfg.model, make_optimizer(lambda s: 1e-4),
+        __import__("jax").random.PRNGKey(0),
+    )
+    restored, _ = ckpt_io.restore_checkpoint(best_path, fresh)
+    assert (
+        restored.params["encoder"]["layers"]["layer"]["moe_w1"].shape[1] == 4
+    )
+
+
+def test_train_moe_ep_validation(corpus, tmp_path):
+    """ep misconfigurations fail before any training is spent."""
+    import dataclasses
+
+    cfg = make_cfg(corpus, str(tmp_path / "run"), ep=2)
+    cfg = dataclasses.replace(cfg, dp=2, tp=1)
+    # ep doesn't divide the expert count
+    bad = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, moe_experts=3)
+    )
+    with pytest.raises(ValueError, match="moe_experts"):
+        train_mr(bad)
+    # ep + pp is rejected
+    bad = dataclasses.replace(
+        cfg,
+        pp=2,
+        model=dataclasses.replace(
+            cfg.model, moe_experts=4, scan_layers=True, pipeline_stages=2
+        ),
+    )
+    with pytest.raises(ValueError, match="ep > 1"):
+        train_mr(bad)

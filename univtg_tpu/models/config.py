@@ -74,6 +74,17 @@ class ModelConfig:
     # canonical layer order -- the train driver converts at restore/save.
     # Off-mesh execution with this flag set raises (models/encoder.py).
     pipeline_pre_permuted: bool = False
+    # Mixture-of-Experts FFN (ops/moe.py): moe_experts > 1 replaces each
+    # encoder layer's dense gelu FFN with a top-k routed bank of
+    # moe_experts experts (capacity-based GShard dispatch). The stacked
+    # expert kernels shard over the mesh "ep" axis
+    # (make_mesh(..., ep=N) + parallel/mesh.py param rules) and the
+    # load-balance aux loss reaches the objective via
+    # train/steps.forward -> LossWeights.moe_aux. Incompatible with
+    # pipeline_stages > 1 (models/encoder.py rejects the combination).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @property
     def dtype(self):

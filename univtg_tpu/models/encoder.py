@@ -38,6 +38,13 @@ class EncoderLayer(nn.Module):
     pre_norm: bool = False
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    # Mixture-of-Experts FFN (ops/moe.py): moe_experts > 1 replaces the
+    # dense gelu FFN with a top-k routed expert bank whose stacked kernels
+    # shard over the mesh "ep" axis. The load-balance aux loss is sown into
+    # the "intermediates" collection (train/steps.forward collects it).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos, *, train: bool):
@@ -71,6 +78,34 @@ class EncoderLayer(nn.Module):
             )
 
         def ffn_block(h):
+            if self.moe_experts > 1:
+                from univtg_tpu.ops.moe import moe_ffn
+
+                e, d, f = self.moe_experts, self.dim, self.ffn_dim
+                router = self.param(
+                    "moe_router", nn.initializers.xavier_uniform(), (d, e)
+                )
+                w1 = self.param(
+                    "moe_w1", nn.initializers.xavier_uniform(), (e, d, f)
+                )
+                b1 = self.param("moe_b1", nn.initializers.zeros, (e, f))
+                w2 = self.param(
+                    "moe_w2", nn.initializers.xavier_uniform(), (e, f, d)
+                )
+                b2 = self.param("moe_b2", nn.initializers.zeros, (e, d))
+                out, aux = moe_ffn(
+                    h,
+                    router,
+                    w1.astype(self.dtype),
+                    b1.astype(self.dtype),
+                    w2.astype(self.dtype),
+                    b2.astype(self.dtype),
+                    top_k=self.moe_top_k,
+                    capacity_factor=self.moe_capacity_factor,
+                    token_mask=key_padding_mask,
+                )
+                self.sow("intermediates", "moe_aux", aux)
+                return out
             h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(h)
             h = nn.gelu(h, approximate=False)
             return nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
@@ -107,6 +142,9 @@ class _ScanUnit(nn.Module):
     dtype: jnp.dtype
     seq_shard: bool
     train: bool
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, key_padding_mask, pos):
@@ -119,6 +157,9 @@ class _ScanUnit(nn.Module):
             self.pre_norm,
             self.attention_impl,
             self.dtype,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             name="layer",
         )(x, key_padding_mask, pos, train=self.train)
         if self.seq_shard:
@@ -163,6 +204,10 @@ class Encoder(nn.Module):
     # so the v>1 path skips the per-step layer gather; the sequential
     # fallback refuses to run (it would silently apply layers out of order)
     pipeline_pre_permuted: bool = False
+    # Mixture-of-Experts FFN (ops/moe.py; expert axis shards over "ep")
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     def _refuse_device_major(self):
         """Raise when pre-permuted (device-major) params would be run
@@ -192,6 +237,13 @@ class Encoder(nn.Module):
             raise ValueError(
                 "pipeline_stages needs scan_layers=True (the pipeline "
                 "shards the stacked scan parameter layout over pp)"
+            )
+        if self.pipeline_stages > 1 and self.moe_experts > 1:
+            raise ValueError(
+                "moe_experts is not supported with pipeline parallelism: "
+                "the pipeline engines apply bare EncoderLayer chunks and "
+                "would silently drop the sown MoE aux loss. Use dp/tp/ep "
+                "meshes for MoE configs."
             )
         if (
             self.pipeline_stages > 1
@@ -261,7 +313,7 @@ class Encoder(nn.Module):
             unit = nn.remat(_ScanUnit) if self.remat else _ScanUnit
             scan = nn.scan(
                 unit,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True, "droppath": True},
                 length=self.num_layers,
                 in_axes=(nn.broadcast, nn.broadcast),
@@ -277,6 +329,9 @@ class Encoder(nn.Module):
                 self.dtype,
                 self.seq_shard,
                 train,
+                moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name="layers",
             )(x, key_padding_mask, pos)
             if self.pre_norm:
@@ -293,6 +348,9 @@ class Encoder(nn.Module):
                 self.pre_norm,
                 self.attention_impl,
                 self.dtype,
+                moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name=f"layers_{i}",
             )
             if self.remat:

@@ -237,6 +237,9 @@ class LossWeights:
     s_intra: float = 0.1
     s_inter: float = 0.1
     eos_coef: float = 0.1
+    # MoE load-balance aux coefficient (Switch Transformer default 1e-2);
+    # only active when the model sows an aux loss (ModelConfig.moe_experts)
+    moe_aux: float = 0.01
 
     def as_dict(self):
         return {
@@ -245,6 +248,7 @@ class LossWeights:
             "loss_f": self.f,
             "loss_s_intra": self.s_intra,
             "loss_s_inter": self.s_inter,
+            "loss_moe_aux": self.moe_aux,
         }
 
 
@@ -267,6 +271,8 @@ def compute_losses(
         out.update(loss_saliency(outputs, targets, gates))
     if "saliency_cls" in losses:
         out.update(loss_saliency_cls(outputs, targets, gates))
+    if "aux_moe" in outputs:
+        out["loss_moe_aux"] = outputs["aux_moe"]
     wd = weights.as_dict()
     out["loss_overall"] = sum(v * wd[k] for k, v in out.items() if k in wd)
     return out

@@ -95,6 +95,9 @@ class UniVTG(nn.Module):
             pipeline_microbatches=cfg.pipeline_microbatches,
             pipeline_interleave=cfg.pipeline_interleave,
             pipeline_pre_permuted=cfg.pipeline_pre_permuted,
+            moe_experts=cfg.moe_experts,
+            moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
         )
         span_pred_dim = 2 if cfg.span_loss_type == "l1" else cfg.max_v_l * 2
         self.class_head = ConvHead(cfg.hidden_dim, 1, 3, dtype=dtype)

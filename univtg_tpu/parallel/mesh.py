@@ -55,29 +55,33 @@ def make_mesh(
     devices=None,
     slices: int = 1,
     pp: int = 1,
+    ep: int = 1,
 ) -> Mesh:
-    """(dp, pp, tp) device mesh; ``slices > 1`` builds a multi-slice (DCN)
-    layout: devices are grouped by slice first, tp/pp (and the dp minor)
-    stay WITHIN a slice so tensor-parallel all-reduces, sequence-parallel
-    all-gathers, and pipeline activation ppermutes ride ICI, and only the
-    dp-major gradient all-reduce crosses the slower DCN links (the standard
-    hybrid dp-over-DCN recipe). The "pp" axis (default size 1) drives
-    GPipe pipeline parallelism (parallel/pipeline.py); tp sits innermost
-    because its all-reduces are the heaviest collective. Every sharding
-    rule in this module works unchanged on single- and multi-slice
-    topologies."""
+    """(dp, pp[, ep], tp) device mesh; ``slices > 1`` builds a multi-slice
+    (DCN) layout: devices are grouped by slice first, tp/pp/ep (and the dp
+    minor) stay WITHIN a slice so tensor-parallel all-reduces,
+    sequence-parallel all-gathers, pipeline activation ppermutes, and MoE
+    dispatch all-to-alls ride ICI, and only the dp-major gradient
+    all-reduce crosses the slower DCN links (the standard hybrid dp-over-DCN
+    recipe). The "pp" axis (default size 1) drives GPipe pipeline
+    parallelism (parallel/pipeline.py); "ep" (only materialized when
+    ep > 1, so non-MoE configs keep the 3-axis layout) shards the MoE
+    expert bank (ops/moe.py); tp sits innermost because its all-reduces
+    are the heaviest collective. Every sharding rule in this module works
+    unchanged on single- and multi-slice topologies."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // (tp * pp)
-    if dp * tp * pp > n:
+        dp = n // (tp * pp * ep)
+    total = dp * tp * pp * ep
+    if total > n:
         raise ValueError(
-            f"mesh needs dp*pp*tp = {dp}*{pp}*{tp} = {dp * tp * pp} devices "
+            f"mesh needs dp*pp*ep*tp = {dp}*{pp}*{ep}*{tp} = {total} devices "
             f"but only {n} "
             f"are visible ({devices[0].platform if devices else 'none'}). "
-            f"Reduce dp/pp/tp, or expose a virtual mesh with "
+            f"Reduce dp/pp/ep/tp, or expose a virtual mesh with "
             f"JAX_PLATFORMS=cpu "
-            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp * pp}."
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={total}."
         )
     if slices > 1:
         if dp % slices != 0:
@@ -85,7 +89,7 @@ def make_mesh(
                 f"dp={dp} must be a multiple of slices={slices}: the dp axis "
                 f"is laid out slice-major so each slice holds dp/slices rows"
             )
-        per_slice = (dp // slices) * tp * pp
+        per_slice = (dp // slices) * tp * pp * ep
         # group by the hardware slice when the runtime reports it (real
         # multi-slice TPU) BEFORE selecting dp*tp devices, so a config that
         # uses a subset of each slice's chips is still laid out one chunk
@@ -95,17 +99,21 @@ def make_mesh(
         if all(s is not None for s in slice_ids):
             devices = _select_slice_devices(devices, per_slice, slices)
         else:
-            devices = devices[: dp * tp * pp]
+            devices = devices[:total]
         for s in range(slices):
             chunk = devices[s * per_slice : (s + 1) * per_slice]
             ids = {i for i in (getattr(d, "slice_index", None) for d in chunk)}
             if len(ids) > 1:
                 raise ValueError(
                     f"slice chunk {s} spans hardware slices {sorted(ids)}: "
-                    f"pp={pp} x tp={tp} x dp_local={dp // slices} does not "
-                    f"fit in one slice; model parallelism must not cross DCN"
+                    f"pp={pp} x ep={ep} x tp={tp} x dp_local={dp // slices} "
+                    f"does not fit in one slice; model parallelism must not "
+                    f"cross DCN"
                 )
-    grid = np.asarray(devices[: dp * tp * pp]).reshape(dp, pp, tp)
+    if ep > 1:
+        grid = np.asarray(devices[:total]).reshape(dp, pp, ep, tp)
+        return Mesh(grid, ("dp", "pp", "ep", "tp"))
+    grid = np.asarray(devices[:total]).reshape(dp, pp, tp)
     return Mesh(grid, ("dp", "pp", "tp"))
 
 
@@ -127,6 +135,25 @@ _TP_RULES = (
 )
 
 
+# MoE expert banks (ops/moe.py): expert axis over "ep", feature axes keep
+# the Megatron tp sharding of the dense FFN they replace (router replicated
+# -- every token needs all logits). Scan layout adds a leading layer axis.
+_MOE_RULES = (
+    (re.compile(r"encoder/layers_\d+/moe_w1$"), P("ep", None, "tp")),
+    (re.compile(r"encoder/layers_\d+/moe_b1$"), P("ep", "tp")),
+    (re.compile(r"encoder/layers_\d+/moe_w2$"), P("ep", "tp", None)),
+    (re.compile(r"encoder/layers_\d+/moe_b2$"), P("ep", None)),
+    (re.compile(r"encoder/layers/layer/moe_w1$"), P(None, "ep", None, "tp")),
+    (re.compile(r"encoder/layers/layer/moe_b1$"), P(None, "ep", "tp")),
+    (re.compile(r"encoder/layers/layer/moe_w2$"), P(None, "ep", "tp", None)),
+    (re.compile(r"encoder/layers/layer/moe_b2$"), P(None, "ep", None)),
+)
+
+
+def _drop_axis(spec, axis: str):
+    return P(*[None if a == axis else a for a in spec])
+
+
 # pipeline layout: EVERY leaf under the stacked scan subtree (matrices,
 # biases, norm scales) carries the layer axis first -> shard it over pp so
 # each stage holds only its own layers (parallel/pipeline.py consumes the
@@ -139,7 +166,18 @@ _TP_RULES = (
 _PP_SCAN_LEAF = re.compile(r"encoder/layers/layer/")
 
 
-def _spec_for_path(path: str, pp_active: bool = False, tp_active: bool = False):
+def _spec_for_path(
+    path: str,
+    pp_active: bool = False,
+    tp_active: bool = False,
+    ep_active: bool = False,
+):
+    for rule, spec in _MOE_RULES:
+        if rule.search(path):
+            # MoE + pipeline is rejected at the model level
+            # (models/encoder.py), so the scan layout's leading layer axis
+            # is never pp-sharded here
+            return spec if ep_active else _drop_axis(spec, "ep")
     if pp_active and _PP_SCAN_LEAF.search(path):
         if tp_active:
             for rule, spec in _TP_RULES:
@@ -159,6 +197,7 @@ def param_shardings(mesh: Mesh, params):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     pp_active = dict(mesh.shape).get("pp", 1) > 1
     tp_active = dict(mesh.shape).get("tp", 1) > 1
+    ep_active = dict(mesh.shape).get("ep", 1) > 1
 
     def path_str(path):
         return "/".join(
@@ -166,7 +205,7 @@ def param_shardings(mesh: Mesh, params):
         )
 
     specs = {
-        path_str(p): _spec_for_path(path_str(p), pp_active, tp_active)
+        path_str(p): _spec_for_path(path_str(p), pp_active, tp_active, ep_active)
         for p, _ in flat
     }
 

@@ -83,6 +83,12 @@ class TrainConfig:
     seed: int = 2018
     dp: Optional[int] = None
     tp: int = 1
+    # expert-parallel degree: ep > 1 builds a (dp, ep, tp) mesh, activates
+    # it for the whole run, and shards the MoE expert bank
+    # (cfg.model.moe_experts, ops/moe.py) over the ep axis. Requires
+    # moe_experts % ep == 0; incompatible with pp > 1 (MoE + pipeline is
+    # rejected at the model level).
+    ep: int = 1
     # pipeline-parallel stages: pp > 1 builds a (dp, pp, tp) mesh, activates
     # it for the whole run (jax.set_mesh), and requires
     # cfg.model.pipeline_stages == pp (+ scan_layers). With
@@ -211,7 +217,27 @@ def train_mr(
     `resume_all` additionally restores optimizer state and continues from
     the saved epoch. resume='auto' picks up results_dir/model_latest.ckpt
     with resume_all semantics (elastic restart)."""
+    if cfg.ep > 1:
+        if cfg.pp > 1:
+            raise ValueError(
+                "ep > 1 (expert parallelism) is incompatible with pp > 1: "
+                "MoE + pipeline is rejected at the model level"
+            )
+        if cfg.model.moe_experts % cfg.ep != 0:
+            raise ValueError(
+                f"moe_experts={cfg.model.moe_experts} must tile over "
+                f"ep={cfg.ep} expert-parallel shards"
+            )
     if cfg.pp <= 1:
+        if cfg.ep > 1:
+            # activate the mesh so ops.moe.ep_constraint can pin the expert
+            # axis of the dispatch buffers (params are ep-sharded via
+            # parallel/mesh.py param rules either way)
+            mesh = make_mesh(cfg.dp, cfg.tp, ep=cfg.ep)
+            with jax.set_mesh(mesh):
+                return _train_mr_impl(
+                    cfg, resume, train_dataset, resume_all, mesh=mesh
+                )
         return _train_mr_impl(cfg, resume, train_dataset, resume_all)
     # Pipeline parallelism: the encoder's pipeline path discovers the mesh
     # through the ambient set_mesh context (parallel/pipeline.py), so the

@@ -70,6 +70,22 @@ def forward(model, params, model_inputs, *, train=False, rngs=None):
     ]
     if model_inputs.get("src_cls") is not None:
         args += [model_inputs["src_cls"], model_inputs["src_cls_mask"]]
+    if train and getattr(getattr(model, "cfg", None), "moe_experts", 0) > 1:
+        # MoE layers sow their load-balance aux loss into "intermediates"
+        # (models/encoder.py); surface the layer-mean as outputs["aux_moe"]
+        # so compute_losses can weight it (LossWeights.moe_aux)
+        outputs, ivars = model.apply(
+            {"params": params}, *args, train=train, rngs=rngs,
+            mutable=["intermediates"],
+        )
+        aux = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(ivars)[0]
+            if any(getattr(p, "key", None) == "moe_aux" for p in path)
+        ]
+        if aux:
+            outputs["aux_moe"] = sum(jnp.mean(a) for a in aux) / len(aux)
+        return outputs
     return model.apply({"params": params}, *args, train=train, rngs=rngs)
 
 
