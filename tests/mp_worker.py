@@ -64,10 +64,11 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
     )
     eval_data = None
     tp = 1
+    pp = 1
     n_epoch = 2
     eval_epoch = 10  # no eval dataset in plain "train" mode
     fault_epoch = -1
-    if mode in ("evaltp", "elastic", "resume", "full4", "shardeval"):
+    if mode in ("evaltp", "elastic", "resume", "full4", "shardeval", "pp"):
         from univtg_tpu.data.mr import MRDataConfig
 
         eval_data = MRDataConfig(
@@ -93,6 +94,20 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         # (driver_mr._eval_once_sharded)
         sharded_eval = True
         eval_epoch = 2  # evaluate on the final epoch
+    if mode == "pp":
+        # pipeline parallelism ACROSS a process gang: pp=2 over each host's
+        # 2 local devices, dp=2 across the hosts (make_mesh row-major
+        # (dp, pp, tp) keeps the activation ppermutes on local links).
+        # In-training eval runs through the driver's LOCAL non-pipeline
+        # twin on host-gathered canonical params (driver_mr).
+        import dataclasses
+
+        pp = 2
+        model = dataclasses.replace(
+            model, scan_layers=True, pipeline_stages=2,
+            pipeline_microbatches=2,
+        )
+        eval_epoch = 2  # evaluate on the final epoch
     if mode == "evaltp":
         # dp=2 x tp=2 over the 4 global devices; row-major device order
         # keeps each tp PAIR within one host (the production Megatron
@@ -117,6 +132,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         n_epoch=n_epoch,
         eval_epoch=eval_epoch,
         tp=tp,
+        pp=pp,
         lr=3e-4,
         lr_warmup=1,
         lr_drop=100,

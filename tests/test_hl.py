@@ -1,4 +1,6 @@
 """Highlight-detection vertical: dataset, domain evaluators, driver smoke."""
+import os
+
 import numpy as np
 import pytest
 
@@ -137,3 +139,28 @@ def test_youtube_dataset_branch(tmp_path):
 
     mAP = evaluate_youtube([sal + 0.01], [sal])  # scoring GT itself -> AP 1
     assert mAP == pytest.approx(1.0)
+
+
+def test_hl_driver_runtime_knobs(corpus, tmp_path):
+    """The HL driver accepts the MR driver's runtime knobs (VERDICT r4 item
+    8): bf16 transfer casting, prefetch double-buffering, and the XProf
+    profile window all run through the shared epoch runner."""
+    from univtg_tpu.train.driver_hl import HLTrainConfig, train_hl
+
+    model = ModelConfig(
+        vid_dim=corpus["v_dim"] + 2, txt_dim=corpus["q_dim"], hidden_dim=32,
+        num_layers=1, num_heads=4, ffn_dim=48, input_dropout=0.0,
+        max_v_l=corpus["max_clips"], max_q_l=8,
+    )
+    profile_dir = str(tmp_path / "trace")
+    cfg = HLTrainConfig(
+        model=model, data=make_cfg(corpus), domains=["SYN"],
+        results_dir=str(tmp_path / "hl_knobs"), bsz=4, eval_bsz=4,
+        n_epoch=1, eval_epoch=1, lr=3e-4, lr_warmup=1, dp=1, tp=1,
+        weights=LossWeights(b=0, g=0, f=10, s_intra=0.1, s_inter=0.1),
+        transfer_dtype="bfloat16", prefetch_depth=2,
+        profile_dir=profile_dir, profile_steps=1,
+    )
+    scores = train_hl(cfg)
+    assert "SYN" in scores
+    assert os.path.isdir(profile_dir) and os.listdir(profile_dir)

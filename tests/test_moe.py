@@ -42,7 +42,8 @@ def naive_moe(x2d, rk, w1, b1, w2, b2, top_k):
     probs = jax.nn.softmax(x2d @ rk, axis=-1)
     idx = jnp.argsort(-probs, axis=-1)[:, :top_k]
     g = jnp.take_along_axis(probs, idx, axis=-1)
-    g = g / jnp.sum(g, axis=-1, keepdims=True)
+    if top_k > 1:  # top-1 keeps the RAW prob (Switch, differentiable router)
+        g = g / jnp.sum(g, axis=-1, keepdims=True)
     out = jnp.zeros_like(x2d)
     for j in range(top_k):
         e = idx[:, j]
@@ -95,6 +96,55 @@ def test_moe_grad_matches_naive(top_k):
         np.testing.assert_allclose(
             np.asarray(g_e[k]), np.asarray(g_n[k]), atol=1e-5, err_msg=k
         )
+
+
+def test_moe_top1_router_gets_task_gradient():
+    """Top-1 gating must keep the raw router probability as the combine
+    weight (Switch): renormalizing would make the gate g/g == 1 and cut the
+    router kernel off from the task-loss gradient entirely."""
+    rk, w1, b1, w2, b2 = _rand_moe(seed=5)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 4, 8)).astype(np.float32))
+
+    def task_loss(router_kernel):
+        y, _ = moe_ffn(
+            x, router_kernel, w1, b1, w2, b2, top_k=1, capacity_factor=8.0
+        )
+        return jnp.mean(y**2)
+
+    g = jax.grad(task_loss)(jnp.asarray(rk))
+    assert float(jnp.linalg.norm(g)) > 1e-4, float(jnp.linalg.norm(g))
+
+
+def test_moe_topk_gt_experts_rejected():
+    with pytest.raises(ValueError, match="top_k"):
+        moe_routing(jnp.ones((4, 2), jnp.float32) * 0.5, 2, 3, 8)
+    cfg = _moe_cfg(moe_experts=2, moe_top_k=3)
+    mi, _ = _batch(B=2)
+    with pytest.raises(ValueError, match="moe_top_k"):
+        UniVTG(cfg).init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(mi["src_txt"]),
+            jnp.asarray(mi["src_txt_mask"]),
+            jnp.asarray(mi["src_vid"]),
+            jnp.asarray(mi["src_vid_mask"]),
+            train=False,
+        )
+
+
+def test_ep_without_moe_rejected():
+    """ep > 1 on a dense model would silently replicate compute over the ep
+    axis; the driver must refuse (ADVICE r4)."""
+    from univtg_tpu.train.driver_mr import TrainConfig, train_mr
+
+    cfg = TrainConfig(
+        model=ModelConfig(vid_dim=34, txt_dim=16, hidden_dim=32,
+                          num_layers=2, num_heads=4, ffn_dim=32),
+        ep=2,
+        results_dir="/tmp/ep_reject",
+    )
+    with pytest.raises(ValueError, match="moe_experts"):
+        train_mr(cfg)
 
 
 def test_moe_capacity_drops_overflow():
@@ -234,28 +284,129 @@ def test_moe_training_learns_and_reports_aux():
     assert np.isfinite(float(metrics["loss_moe_aux"]))
 
 
-def test_moe_pipeline_rejected():
-    cfg = _moe_cfg(pipeline_stages=2, num_layers=4)
+def _run_moe_steps(cfg, mesh=None, n_steps=3, ep=1):
+    """Shared harness: 3 SGD steps; returns (losses, aux, final params)."""
     model = UniVTG(cfg)
-    mi, _ = _batch(B=2)
-    with pytest.raises(ValueError, match="moe_experts"):
-        model.init(
-            jax.random.PRNGKey(0),
-            jnp.asarray(mi["src_txt"]),
-            jnp.asarray(mi["src_txt_mask"]),
-            jnp.asarray(mi["src_vid"]),
-            jnp.asarray(mi["src_vid_mask"]),
-            train=False,
+    optimizer = optax.sgd(1e-2)
+    state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, LossWeights(), donate=False)
+    losses, aux = [], []
+    if mesh is None:
+        for i in range(n_steps):
+            mi, tg = _batch(seed=i)
+            state, m = step(state, mi, tg, jax.random.PRNGKey(1))
+            losses.append(float(m["loss_overall"]))
+            aux.append(float(m["loss_moe_aux"]))
+        return losses, aux, jax.device_get(state.params)
+    from univtg_tpu.parallel import param_shardings
+
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    with jax.set_mesh(mesh):
+        for i in range(n_steps):
+            mi, tg = _batch(seed=i)
+            mi, tg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+            state, m = step(state, mi, tg, jax.random.PRNGKey(1))
+            losses.append(float(m["loss_overall"]))
+            aux.append(float(m["loss_moe_aux"]))
+        jax.block_until_ready(state.params)
+    return losses, aux, jax.device_get(state.params)
+
+
+@pytest.mark.parametrize(
+    "dp,pp,ep,tp",
+    [
+        (1, 2, 1, 1),  # plain pp x MoE
+        (1, 2, 2, 1),  # pp x ep: expert axis sharded under the pipeline
+        (1, 2, 1, 2),  # pp x tp: feature axes sharded under the pipeline
+    ],
+)
+def test_moe_pipeline_matches_sequential_at_m1(dp, pp, ep, tp):
+    """MoE x pipeline (VERDICT r4 item 5): with ONE microbatch and dp=1,
+    pipelined MoE routing sees the same token set as the sequential scan,
+    so the 3-step trajectory (losses, aux, final params) must match the
+    single-device run exactly. The aux loss is threaded through the GPipe
+    tick carry (pipeline_layers collect_aux) so it stays differentiable.
+
+    dp > 1 is deliberately NOT in this exact-equality list: under the
+    pipeline's shard_map each dp shard routes over its OWN rows (capacity
+    and aux are per (microbatch x dp-shard) -- pipeline_layers docstring),
+    whereas the non-pipelined SPMD path computes routing globally; the
+    dp=2 composition is covered by
+    test_moe_pipeline_microbatched_learns_and_routes."""
+    n_dev = dp * pp * ep * tp
+    cfg_seq = _moe_cfg(num_layers=4)
+    cfg_pipe = _moe_cfg(
+        num_layers=4, pipeline_stages=pp, pipeline_microbatches=1
+    )
+    ref_losses, ref_aux, ref_params = _run_moe_steps(cfg_seq)
+    mesh = make_mesh(dp=dp, tp=tp, pp=pp, ep=ep, devices=jax.devices()[:n_dev])
+    losses, aux, params = _run_moe_steps(cfg_pipe, mesh=mesh)
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-5)
+    np.testing.assert_allclose(aux, ref_aux, rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(ref_params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_moe_pipeline_microbatched_learns_and_routes():
+    """M>1: routing is per microbatch (documented locality change), so no
+    exact sequential equality -- pin that training runs, learns, reports a
+    finite aux, and the ROUTER receives task gradient through the pipeline
+    (the collect_aux carry keeps the aux differentiable)."""
+    cfg = _moe_cfg(num_layers=4, pipeline_stages=2, pipeline_microbatches=2)
+    model = UniVTG(cfg)
+    optimizer = make_optimizer(lambda s: 5e-4)
+    state = init_state(model, cfg, optimizer, jax.random.PRNGKey(0))
+    p0_router = np.asarray(
+        state.params["encoder"]["layers"]["layer"]["moe_router"]
+    ).copy()
+    step = make_train_step(model, optimizer, LossWeights(), donate=False)
+    mesh = make_mesh(dp=2, tp=1, pp=2, devices=jax.devices()[:4])
+    from univtg_tpu.parallel import param_shardings
+
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    losses = []
+    with jax.set_mesh(mesh):
+        mi, tg = _batch(seed=0)
+        mi, tg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+        for i in range(5):
+            state, m = step(state, mi, tg, jax.random.PRNGKey(2))
+            losses.append(float(m["loss_overall"]))
+        assert np.isfinite(float(m["loss_moe_aux"]))
+        jax.block_until_ready(state.params)
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    # router moved: task gradient reached it through the pipeline
+    p_router = np.asarray(
+        jax.device_get(state.params["encoder"]["layers"]["layer"]["moe_router"])
+    )
+    assert np.abs(p_router - p0_router).max() > 0
+
+
+def test_moe_1f1b_rejected():
+    """The manual-vjp 1F1B engine cannot carry the aux loss; it must refuse
+    MoE configs loudly (GPipe is the supported pp x MoE schedule)."""
+    from univtg_tpu.train.steps_1f1b import make_1f1b_train_step
+
+    cfg = _moe_cfg(num_layers=4, pipeline_stages=2)
+    with pytest.raises(ValueError, match="MoE"):
+        make_1f1b_train_step(
+            UniVTG(cfg), optax.sgd(1e-2), LossWeights(), n_micro=2
         )
 
 
-@pytest.mark.parametrize("scan_layers", [False, True])
-def test_moe_eval_forward_no_mutable(scan_layers):
+def test_moe_eval_forward_no_mutable():
     """Eval-mode apply works without mutable collections (sow is a no-op)
-    and both layer layouts produce identical outputs from the same stacked
-    params (scan <-> unrolled interchange, incl. the MoE leaves)."""
-    cfg = _moe_cfg(scan_layers=scan_layers)
-    model = UniVTG(cfg)
+    and both layer layouts produce identical outputs from the same params
+    (scan <-> unrolled interchange via stack_layer_params, incl. the MoE
+    leaves)."""
+    from univtg_tpu.models.encoder import stack_layer_params
+
     mi, _ = _batch(B=2)
     args = (
         jnp.asarray(mi["src_txt"]),
@@ -263,6 +414,20 @@ def test_moe_eval_forward_no_mutable(scan_layers):
         jnp.asarray(mi["src_vid"]),
         jnp.asarray(mi["src_vid_mask"]),
     )
-    params = model.init(jax.random.PRNGKey(0), *args, train=False)["params"]
-    out = model.apply({"params": params}, *args, train=False)
-    assert np.isfinite(np.asarray(out["saliency_scores"])).all()
+    cfg_u = _moe_cfg(scan_layers=False)
+    params = UniVTG(cfg_u).init(jax.random.PRNGKey(0), *args, train=False)[
+        "params"
+    ]
+    out_u = UniVTG(cfg_u).apply({"params": params}, *args, train=False)
+    scan_params = dict(params)
+    scan_params["encoder"] = stack_layer_params(
+        params["encoder"], cfg_u.num_layers
+    )
+    out_s = UniVTG(_moe_cfg(scan_layers=True)).apply(
+        {"params": scan_params}, *args, train=False
+    )
+    for k in ("saliency_scores", "pred_logits", "pred_spans"):
+        np.testing.assert_allclose(
+            np.asarray(out_u[k]), np.asarray(out_s[k]), atol=1e-5, err_msg=k
+        )
+    assert np.isfinite(np.asarray(out_u["saliency_scores"])).all()

@@ -100,3 +100,40 @@ def test_comparison_set_batch(tmp_path):
     assert len(made) == 2
     for d in made:
         assert os.path.exists(os.path.join(d, "combined.jpg"))
+
+
+def test_frame_strip_with_template(tmp_path):
+    """apply_template (plot/qvhl.py:21-33): the frame lands on a white
+    canvas 1.4x its height at 19% offset, the RGBA template composites on
+    top. Pinned against a hand-computed composite on a synthetic frame +
+    synthetic half-transparent template."""
+    from PIL import Image
+
+    from univtg_tpu.tools.plots import apply_template, plot_frame_strip
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    # template: opaque red top band, transparent rest
+    tpl = np.zeros((56, 60, 4), np.uint8)
+    tpl[:8, :, 0] = 255
+    tpl[:8, :, 3] = 255
+    tpl_path = str(tmp_path / "template.png")
+    Image.fromarray(tpl, "RGBA").save(tpl_path)
+
+    out = apply_template(frame, tpl_path)
+    assert out.shape == (56, 60, 3)  # 1.4x height canvas
+    np.testing.assert_array_equal(out[:8], np.broadcast_to([255, 0, 0], (8, 60, 3)))
+    # the frame region (below the 19% offset) shows through the transparency
+    y0 = int(40 * 0.19)
+    np.testing.assert_array_equal(out[y0 + 8 : y0 + 40], frame[8:])
+
+    # end to end through the strip renderer on the shipped demo video
+    if os.path.exists(VIDEO):
+        import matplotlib.pyplot as plt
+
+        out_path = str(tmp_path / "strip_tpl.jpg")
+        fig = plot_frame_strip(
+            VIDEO, 30.0, "q", out_path, n_frames=3, template_path=tpl_path
+        )
+        assert fig is not None and os.path.getsize(out_path) > 10_000
+        plt.close(fig)

@@ -142,3 +142,26 @@ def test_tags_mat_roundtrip(tmp_path):
     assert len(loaded) == 2
     for want, got in zip(videos_tag, loaded):
         np.testing.assert_array_equal(got, want)
+
+
+def test_qfvs_driver_runtime_knobs(corpus, tmp_path):
+    """QFVS accepts the shared runtime knobs: background host-prep prefetch
+    and the profile window (VERDICT r4 item 8)."""
+    import os
+
+    from univtg_tpu.train.driver_qfvs import QFVSTrainConfig, train_qfvs
+
+    model = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=32, num_layers=1, num_heads=4,
+        ffn_dim=48, input_dropout=0.0, max_v_l=16, max_q_l=8,
+    )
+    profile_dir = str(tmp_path / "trace")
+    cfg = QFVSTrainConfig(
+        model=model, data=make_data_cfg(corpus),
+        results_dir=str(tmp_path / "qfvs_knobs"), n_epoch=1, eval_epoch=1,
+        splits=((2, 3, 4),), max_q_l=8, prefetch_depth=2,
+        profile_dir=profile_dir, profile_steps=1,
+    )
+    results = train_qfvs(cfg, videos_tag=corpus["videos_tag"])
+    assert "V1" in results
+    assert os.path.isdir(profile_dir) and os.listdir(profile_dir)

@@ -153,3 +153,154 @@ def test_reproduce_script_end_to_end(released_run, tmp_path):
     brief = json.load(open(out))["brief"]
     assert "MR-full-mAP-key" in brief
     assert "model.md expects 45.44" in proc.stdout
+
+
+def test_reproduce_script_with_trained_weights(tmp_path):
+    """Dress rehearsal for the released-checkpoint reproduction (VERDICT r4
+    item 3): the strongest stand-in available without the real weights.
+
+    The coupled torch reference model (tests/test_model_parity.build_ref_model
+    + the reference's own SetCriterion) is TRAINED for 40 Adam steps on the
+    synthetic corpus's own batches, saved in the released container format
+    (DDP 'module.' prefixes + reference-flag opt.json), and then the full
+    chain ckpt -> opt.json -> architecture reconstruction -> weight mapping
+    -> jitted inference -> evaluator is exercised two ways:
+
+      * scripts/reproduce_model_md.py end-to-end in a subprocess, and
+      * this framework's own in-process eval of the mapped model,
+
+    asserting BYTE-IDENTICAL metrics json. This pins everything about
+    `load model_best.ckpt -> get 45.44` (model.md:19-20) except the weights
+    themselves, at non-trivial (trained, structured) parameters."""
+    sys.path.insert(0, "/root/reference")
+    from model.univtg import SetCriterion
+
+    from univtg_tpu.data.collate import collate_mr
+    from univtg_tpu.data.loader import Loader
+    from univtg_tpu.data.mr import MRDataConfig, MRDataset
+    from univtg_tpu.data.synthetic import create_synthetic_mr_corpus
+
+    cfg = CFG.__class__(
+        **{**CFG.__dict__, "dropout": 0.0, "droppath": 0.0, "input_dropout": 0.0}
+    )
+    corpus = create_synthetic_mr_corpus(
+        str(tmp_path / "c"), n_train=16, n_val=10,
+        v_dim=cfg.vid_dim - 2, q_dim=cfg.txt_dim, max_clips=cfg.max_v_l,
+        seed=21,
+    )
+    data_cfg = MRDataConfig(
+        dset_name="qvhighlights",
+        data_path=corpus["train_path"],
+        v_feat_dirs=tuple(corpus["v_feat_dirs"]),
+        q_feat_dir=corpus["q_feat_dir"],
+        v_feat_dim=cfg.vid_dim - 2,
+        q_feat_dim=cfg.txt_dim,
+        clip_len=corpus["clip_len"],
+        max_q_l=cfg.max_q_l,
+        max_v_l=cfg.max_v_l,
+    )
+    ds = MRDataset(data_cfg)
+    loader = Loader(
+        ds, 8,
+        lambda items, pad_batch_to: collate_mr(
+            items, cfg.max_q_l, cfg.max_v_l, pad_batch_to
+        ),
+        shuffle=True, seed=0, num_threads=2,
+    )
+
+    # ---- train the torch reference on its own criterion ----
+    torch.manual_seed(0)
+    ref = build_ref_model(cfg)
+    ref.train()
+    weights = {"loss_b": 10.0, "loss_g": 1.0, "loss_f": 10.0,
+               "loss_s_intra": 0.1, "loss_s_inter": 0.1}
+    crit = SetCriterion(
+        matcher=None, weight_dict=weights, eos_coef=0.1,
+        losses=["spans", "labels", "saliency"], temperature=0.07,
+        span_loss_type="l1", max_v_l=cfg.max_v_l, saliency_margin=1,
+    )
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    losses = []
+    for epoch in range(20):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            mi = {k: torch.from_numpy(np.asarray(v))
+                  for k, v in batch["model_inputs"].items()}
+            tg = {k: torch.from_numpy(np.asarray(v))
+                  for k, v in batch["targets"].items()
+                  if isinstance(v, np.ndarray)}
+            opt.zero_grad()
+            out = ref(**mi)
+            ld = crit(out, tg)
+            loss = sum(ld[k] * weights[k] for k in ld if k in weights)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])  # actually trained
+
+    # ---- save in the released container format ----
+    run_dir = tmp_path / "released"
+    run_dir.mkdir()
+    sd = {f"module.{k}": v for k, v in ref.state_dict().items()}
+    ckpt = str(run_dir / "model_best.ckpt")
+    torch.save(
+        {"model": sd, "optimizer": {}, "lr_scheduler": {}, "epoch": 40,
+         "opt": reference_opt(cfg)},
+        ckpt,
+    )
+    with open(run_dir / "opt.json", "w") as f:
+        json.dump(reference_opt(cfg), f)
+
+    # ---- chain A: the reproduction script, end to end ----
+    out_a = str(tmp_path / "metrics_a.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "reproduce_model_md.py"),
+            "--resume", ckpt,
+            "--eval-path", corpus["val_path"],
+            "--v-feat-dirs", corpus["v_feat_dirs"][0],
+            "--q-feat-dir", corpus["q_feat_dir"],
+            "--clip-len", str(corpus["clip_len"]),
+            "--eval-bsz", "8",
+            "--out", out_a,
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    # ---- chain B: this framework's own eval of the mapped model ----
+    from univtg_tpu.interop import load_reference_run
+    from univtg_tpu.models import UniVTG
+    from univtg_tpu.train.infer_mr import (
+        apply_nms, evaluate_submission, run_inference,
+    )
+
+    rcfg, params = load_reference_run(ckpt)
+    eval_cfg = MRDataConfig(
+        **{**data_cfg.__dict__, "data_path": corpus["val_path"]}
+    )
+    eval_ds = MRDataset(eval_cfg)
+    eval_loader = Loader(
+        eval_ds, 8,
+        lambda items, pad_batch_to: collate_mr(
+            items, eval_cfg.max_q_l, eval_cfg.max_v_l, pad_batch_to
+        ),
+        shuffle=False,
+    )
+    submission = run_inference(
+        UniVTG(rcfg), params["params"], eval_loader,
+        eval_mode="add", clip_length=corpus["clip_len"], round_multiple=-1,
+    )
+    metrics_b = evaluate_submission(submission, eval_ds.data)
+    metrics_b["metrics_nms"] = evaluate_submission(
+        apply_nms(submission, 0.7, 10, 10), eval_ds.data
+    )["brief"]
+
+    metrics_a = json.load(open(out_a))
+    assert json.dumps(metrics_a, sort_keys=True) == json.dumps(
+        metrics_b, sort_keys=True
+    ), "script metrics != in-process metrics"
+    # trained weights produce a non-degenerate submission (structured
+    # predictions, finite headline metric)
+    assert np.isfinite(metrics_a["brief"]["MR-full-mAP-key"])

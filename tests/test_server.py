@@ -630,3 +630,87 @@ def test_json_null_body_gets_a_response(server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _request(server, path, data=b"null", method="POST")
         assert ei.value.code == 400
+
+
+def test_put_raw_video_extracts_and_grounds():
+    """PUT /videos/<id> with raw video bytes (Content-Type: video/mp4)
+    decodes on the host, runs the jitted CLIP tower, registers the
+    features, and the video is then groundable by TEXT query -- the demo
+    path's raw-video capability for API clients (VERDICT r4 item 10).
+    Also: raw-video PUT without a clip_encoder is a clean 400."""
+    import os
+
+    video_path = "/root/reference/examples/charades.mp4"
+    if not os.path.exists(video_path):
+        pytest.skip("no example video")
+
+    from univtg_tpu.extract.clip.model import CLIP, CLIPConfig
+    from univtg_tpu.extract.pipeline import ClipEncoder
+
+    clip_cfg = CLIPConfig(
+        embed_dim=512, image_resolution=224, vision_layers=1,
+        vision_width=64, vision_patch_size=32, context_length=77,
+        vocab_size=49408, transformer_width=64, transformer_heads=4,
+        transformer_layers=1,
+    )
+    clip_model = CLIP(clip_cfg)
+    clip_params = clip_model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 224, 224, 3), np.float32),
+        np.zeros((1, 77), np.int32),
+    )
+    enc = ClipEncoder(clip_params, clip_cfg, image_batch=8, text_batch=2)
+
+    g_cfg = ModelConfig(
+        vid_dim=514, txt_dim=64, hidden_dim=32, num_layers=1, num_heads=2,
+        ffn_dim=48, max_v_l=75, max_q_l=32,
+    )
+    g_model = UniVTG(g_cfg)
+    g_params = g_model.init(
+        jax.random.PRNGKey(1),
+        np.zeros((1, 8, 64), np.float32),
+        np.ones((1, 8), np.float32),
+        np.zeros((1, 16, 514), np.float32),
+        np.ones((1, 16), np.float32),
+        train=False,
+    )["params"]
+    pipe = GroundingPipeline(
+        g_cfg, g_params, clip_len=2.0, buckets=[16, 32], clip_encoder=enc
+    )
+    srv = GroundingServer(pipe, port=0, max_batch=4, max_wait_ms=5.0)
+    srv.start()
+    try:
+        raw = open(video_path, "rb").read()
+        status, out = _request(
+            srv, "/videos/charades", data=raw, method="PUT",
+            headers={"Content-Type": "video/mp4"},
+        )
+        assert status == 200 and out["clips"] > 0, out
+
+        status, out = _request(
+            srv, "/ground",
+            data=json.dumps(
+                {"video": "charades", "query": "person opens a door",
+                 "top_k": 3}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert status == 200
+        assert len(out["topk_windows"]) == 3
+        assert 0 <= out["top1_window"][0] <= out["duration"]
+    finally:
+        srv.close()
+
+    # encoder-less pipeline: raw-video PUT must 400 with a clear message
+    srv2 = GroundingServer(_pipeline(), port=0)
+    srv2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(
+                srv2, "/videos/x", data=b"\x00\x01", method="PUT",
+                headers={"Content-Type": "video/mp4"},
+            )
+        assert ei.value.code == 400
+        assert "clip_encoder" in json.loads(ei.value.read())["error"]
+    finally:
+        srv2.close()

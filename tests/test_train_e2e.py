@@ -282,12 +282,10 @@ def test_train_pp_rejects_bad_tiling_and_batches(corpus, tmp_path):
             )
         )
 
-    with pytest.raises(ValueError, match="single-process"):
-        train_mr(
-            dataclasses.replace(
-                base, model=pipe_model, pp=2, dp=4, tp=1, num_shards=2
-            )
-        )
+    # pp + num_shards > 1 / multi-process is SUPPORTED since round 5 (the
+    # driver evaluates through a rank-local non-pipeline twin on gathered
+    # canonical params); the composition is pinned end-to-end by
+    # tests/test_multiprocess.py::test_two_process_pipeline_parallel_gang.
 
 
 def test_eval_shard_covers_every_item_exactly_once():
@@ -388,13 +386,21 @@ def test_train_moe_ep_validation(corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="moe_experts"):
         train_mr(bad)
-    # ep + pp is rejected
+    # ep on a dense model silently wastes the ep devices -> rejected
+    bad = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, moe_experts=0)
+    )
+    with pytest.raises(ValueError, match="moe_experts"):
+        train_mr(bad)
+    # ep + pp composes on the GPipe schedule (round 5) but the 1F1B
+    # manual-vjp engine cannot carry the MoE aux loss -> rejected
     bad = dataclasses.replace(
         cfg,
         pp=2,
+        pipeline_schedule="1f1b",
         model=dataclasses.replace(
             cfg.model, moe_experts=4, scan_layers=True, pipeline_stages=2
         ),
     )
-    with pytest.raises(ValueError, match="ep > 1"):
+    with pytest.raises(ValueError, match="MoE"):
         train_mr(bad)

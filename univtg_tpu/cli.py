@@ -174,7 +174,7 @@ def cmd_plot(args):
         made = plot_comparison_set(
             args.submission, args.gt, args.out_dir,
             baseline_jsonl=args.baseline, video_dir=args.video_dir,
-            max_queries=args.max_queries,
+            max_queries=args.max_queries, template_path=args.template,
         )
         print(f"wrote {len(made)} figure sets to {args.out_dir}")
         return
@@ -360,6 +360,9 @@ def build_parser():
                     help="paper-style per-query comparison figure sets")
     sp.add_argument("--video-dir", default=None,
                     help="dir of {vid}.mp4 files for the frame strips")
+    sp.add_argument("--template", default=None,
+                    help="RGBA template PNG composited over each frame "
+                         "(the reference's film-strip border)")
 
     sp = add("eval", cmd_eval)
     sp.add_argument("--submission", required=True)

@@ -238,12 +238,10 @@ class Encoder(nn.Module):
                 "pipeline_stages needs scan_layers=True (the pipeline "
                 "shards the stacked scan parameter layout over pp)"
             )
-        if self.pipeline_stages > 1 and self.moe_experts > 1:
+        if self.moe_experts > 1 and self.moe_top_k > self.moe_experts:
             raise ValueError(
-                "moe_experts is not supported with pipeline parallelism: "
-                "the pipeline engines apply bare EncoderLayer chunks and "
-                "would silently drop the sown MoE aux loss. Use dp/tp/ep "
-                "meshes for MoE configs."
+                f"moe_top_k={self.moe_top_k} must be <= "
+                f"moe_experts={self.moe_experts}"
             )
         if (
             self.pipeline_stages > 1
@@ -269,6 +267,9 @@ class Encoder(nn.Module):
                     self.pre_norm,
                     self.attention_impl,
                     self.dtype,
+                    moe_experts=self.moe_experts,
+                    moe_top_k=self.moe_top_k,
+                    moe_capacity_factor=self.moe_capacity_factor,
                 )
                 rng_d = rng_p = None
                 if train:
@@ -289,7 +290,17 @@ class Encoder(nn.Module):
                     interleave=self.pipeline_interleave,
                     pre_permuted=self.pipeline_pre_permuted,
                     remat=self.remat,
+                    collect_aux=self.moe_experts > 1,
                 )
+                if self.moe_experts > 1:
+                    # MoE x pipeline: the engine returns the load-balance
+                    # aux as the mean over (layers x microbatches x
+                    # dp-shards) -- routing under a pipeline is per
+                    # microbatch, the same locality the microbatched loss
+                    # terms have. Sown so train/steps.forward surfaces it
+                    # as outputs["aux_moe"] exactly like the scan path.
+                    x, moe_aux = x
+                    self.sow("intermediates", "moe_aux", moe_aux)
                 if self.pre_norm:
                     x = nn.LayerNorm(
                         epsilon=LN_EPS, dtype=self.dtype, name="final_norm"

@@ -20,8 +20,10 @@ TPU-first design (GShard/Switch dispatch, not a torch-style gather loop):
   * capacity C is rounded up to the 8-sublane tile so the per-expert
     buffer maps cleanly onto VMEM tiles.
 
-Routing follows Switch/GShard semantics: top-k gates renormalized over the
-chosen experts, tokens beyond an expert's capacity dropped (the residual
+Routing follows Switch/GShard semantics: top-1 keeps the raw router
+probability as the combine weight (Switch — keeps routing differentiable
+through the task loss); top-k>=2 renormalizes the gates over the chosen
+set (GShard). Tokens beyond an expert's capacity are dropped (the residual
 connection carries them through unchanged), and the load-balance auxiliary
 loss aux = E * sum_e f_e * p_e (f_e = fraction of tokens whose top-1 choice
 is e, p_e = mean router probability of e), which is 1.0 at perfect balance.
@@ -73,6 +75,11 @@ def moe_routing(probs, n_experts: int, top_k: int, capacity: int,
       combine:  (N, E, C) dispatch scaled by the renormalized gates.
       aux:      scalar load-balance loss (Switch eq. 4), 1.0 at balance.
     """
+    if top_k > n_experts:
+        raise ValueError(
+            f"moe_routing: top_k={top_k} > n_experts={n_experts} — extra "
+            "iterations would silently re-select expert 0 with zero gate"
+        )
     n = probs.shape[0]
     if token_mask is None:
         token_mask = jnp.ones((n,), jnp.float32)
@@ -88,9 +95,14 @@ def moe_routing(probs, n_experts: int, top_k: int, capacity: int,
         gates.append(jnp.sum(remaining * onehot, axis=-1))          # (N,)
         choices.append(onehot * token_mask[:, None])
         remaining = remaining * (1.0 - onehot)
-    gate_sum = sum(gates)
-    denom = jnp.where(gate_sum > 0, gate_sum, 1.0)
-    gates = [g / denom for g in gates]
+    if top_k > 1:
+        gate_sum = sum(gates)
+        denom = jnp.where(gate_sum > 0, gate_sum, 1.0)
+        gates = [g / denom for g in gates]
+    # top_k == 1 keeps the RAW router probability as the combine weight
+    # (Switch Transformer): renormalizing would make the gate identically
+    # g/g == 1, cutting the router off from the task-loss gradient — the
+    # router would then train only through the load-balance aux loss.
 
     # sequential capacity assignment: slot-k tokens queue behind slot-(k-1)
     counts = jnp.zeros((n_experts,), jnp.float32)

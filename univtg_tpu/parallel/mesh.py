@@ -174,10 +174,12 @@ def _spec_for_path(
 ):
     for rule, spec in _MOE_RULES:
         if rule.search(path):
-            # MoE + pipeline is rejected at the model level
-            # (models/encoder.py), so the scan layout's leading layer axis
-            # is never pp-sharded here
-            return spec if ep_active else _drop_axis(spec, "ep")
+            spec = spec if ep_active else _drop_axis(spec, "ep")
+            if pp_active and _PP_SCAN_LEAF.search(path):
+                # MoE x pipeline: the scan layout's leading layer axis
+                # shards over pp like every other stacked leaf
+                spec = P("pp", *spec[1:])
+            return spec
     if pp_active and _PP_SCAN_LEAF.search(path):
         if tp_active:
             for rule, spec in _TP_RULES:

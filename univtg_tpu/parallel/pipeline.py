@@ -191,6 +191,7 @@ def pipeline_layers(
     interleave: int = 1,
     pre_permuted: bool = False,
     remat: bool = False,
+    collect_aux: bool = False,
 ):
     """Run the stacked layer pytree as a ``pp``-stage pipeline over ``x``.
 
@@ -219,10 +220,20 @@ def pipeline_layers(
         the scan-over-ticks then stores only the (mb, T, D) carry per tick
         instead of every attention/FFN intermediate -- the standard
         activation-memory discipline for pipelined long-sequence training.
+      collect_aux: the layer body sows a scalar auxiliary loss into its
+        "intermediates" collection (the MoE load-balance aux, ops/moe.py);
+        each tick extracts it with a mutable apply, masks idle ticks, and
+        accumulates it through the scan carry -- so the aux term is fully
+        differentiable through the pipeline's autodiff. The returned value
+        is the MEAN over (layers x microbatches x dp shards): under a
+        pipeline, MoE routing (and its capacity) is per
+        (microbatch x dp-shard), the same locality the microbatched loss
+        terms already have.
 
     Returns:
       (B, T, D) encoder output, replicated over ``pp`` (psum on the last
-      stage's collected microbatches).
+      stage's collected microbatches) -- or a tuple
+      ``(output, aux_mean)`` when ``collect_aux=True``.
     """
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or not mesh.shape or axis not in mesh.shape:
@@ -284,26 +295,33 @@ def pipeline_layers(
         train=train,
         axis=axis,
         remat=remat,
+        collect_aux=collect_aux,
     )
-    # manual over (dp, pp) only: every other mesh axis (tp) stays AUTO, so
-    # tp-sharded stacked matrices (parallel/mesh.py pp x tp specs) keep
+    # manual over (dp, pp) only: every other mesh axis (tp, ep) stays AUTO,
+    # so tp-sharded stacked matrices (parallel/mesh.py pp x tp specs) keep
     # their feature-dim sharding inside the body and XLA's propagation
-    # inserts the Megatron pair collectives within each stage's chunk
+    # inserts the Megatron pair collectives within each stage's chunk; the
+    # MoE expert axis likewise keeps its ep sharding (ops/moe.ep_constraint)
     spec_x = P(None, "dp", None, None)
+    out_specs = (spec_x, P()) if collect_aux else spec_x
     out = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(axis), spec_x, P(None, "dp", None), spec_x, P(), P()),
-        out_specs=spec_x,
+        out_specs=out_specs,
         axis_names=frozenset({"dp", axis}),
         check_vma=False,
     )(stacked_params, xm, km, pm, rng_dropout, rng_droppath)
+    if collect_aux:
+        out, aux = out
+        return out.reshape(B, T, D), aux
     return out.reshape(B, T, D)
 
 
 def _pipeline_stage_fn(
     params_stage, xm, km, pm, rng_dropout, rng_droppath,
     *, layer, pp, v, n_chunk, n_micro, train, axis, remat=False,
+    collect_aux=False,
 ):
     """Per-device body: params_stage holds this device's (v * n_chunk, ...)
     layer slices in slot-major order; xm/km/pm hold the dp-local rows of
@@ -334,12 +352,31 @@ def _pipeline_stage_fn(
                     "dropout": jax.random.fold_in(rng_dropout, base),
                     "droppath": jax.random.fold_in(rng_droppath, base),
                 }
+            if collect_aux:
+                h, aux = carry
+                h, ivars = layer.apply(
+                    {"params": p_layer}, h, kmask, posb, train=train,
+                    rngs=rngs, mutable=["intermediates"],
+                )
+                sown = [
+                    jnp.sum(leaf)
+                    for path, leaf in
+                    jax.tree_util.tree_flatten_with_path(ivars)[0]
+                    if any(getattr(p, "key", None) == "moe_aux" for p in path)
+                ]
+                return (h, aux + sum(sown)), None
             h = layer.apply(
                 {"params": p_layer}, carry, kmask, posb, train=train,
                 rngs=rngs,
             )
             return h, None
 
+        if collect_aux:
+            (h, aux), _ = jax.lax.scan(
+                body, (h, jnp.zeros((), jnp.float32)),
+                (p_chunk, jnp.arange(n_chunk)),
+            )
+            return h, aux
         h, _ = jax.lax.scan(body, h, (p_chunk, jnp.arange(n_chunk)))
         return h
 
@@ -352,7 +389,7 @@ def _pipeline_stage_fn(
         )
 
     def tick(carry, t):
-        buf, outs = carry
+        buf, outs, aux_acc = carry
         active, j_act, m_act = schedule_active(t, s, pp=pp, v=v, n_micro=M)
         x_t = jax.lax.dynamic_index_in_dim(xm, m_act, 0, keepdims=False)
         # chunk 0 (slot 0 on device 0) takes fresh input; every other chunk
@@ -363,7 +400,12 @@ def _pipeline_stage_fn(
         h = jnp.where(inject, x_t, buf)
         kmask = jax.lax.dynamic_index_in_dim(km, m_act, 0, keepdims=False)
         posb = jax.lax.dynamic_index_in_dim(pm, m_act, 0, keepdims=False)
-        h = apply_chunk(h, kmask, posb, t, j_act)
+        if collect_aux:
+            h, aux_t = apply_chunk(h, kmask, posb, t, j_act)
+            # idle ticks run masked garbage -- their aux must not count
+            aux_acc = aux_acc + jnp.where(active, aux_t, 0.0)
+        else:
+            h = apply_chunk(h, kmask, posb, t, j_act)
         buf_next = jax.lax.ppermute(
             h, axis, [(i, (i + 1) % pp) for i in range(pp)]
         )
@@ -374,17 +416,28 @@ def _pipeline_stage_fn(
             outs, h.astype(outs.dtype), m_act, 0
         )
         outs = jnp.where(write, upd, outs)
-        return (buf_next, outs), None
+        return (buf_next, outs, aux_acc), None
 
     buf0 = jnp.zeros(xm.shape[1:], xm.dtype)
     outs0 = jnp.zeros_like(xm)
-    (_, outs), _ = jax.lax.scan(
-        tick, (buf0, outs0), jnp.arange(pipeline_ticks(M, pp, v))
+    (_, outs, aux_acc), _ = jax.lax.scan(
+        tick, (buf0, outs0, jnp.zeros((), jnp.float32)),
+        jnp.arange(pipeline_ticks(M, pp, v)),
     )
     # only the last stage holds real outputs; psum replicates them over pp
-    return jax.lax.psum(
+    result = jax.lax.psum(
         jnp.where(s == pp - 1, outs, jnp.zeros_like(outs)), axis
     )
+    if not collect_aux:
+        return result
+    # per-(layer x microbatch x dp-shard) aux values -> global mean; the
+    # pp psum sums each device's chunks into the all-layer total
+    total_layers = pp * v * n_chunk
+    dp = jax.lax.psum(jnp.ones((), jnp.float32), "dp")
+    aux_mean = jax.lax.psum(jax.lax.psum(aux_acc, axis), "dp") / (
+        total_layers * M * dp
+    )
+    return result, aux_mean
 
 
 _PIPELINE_FALLBACK_WARNED: set = set()

@@ -209,7 +209,15 @@ class GroundingServer:
       GET    /videos            -> {"videos": [ids...]}
       PUT    /videos/<id>       -> register clip features. Body: .npz bytes
                                    (key "features" or the first array) or
-                                   JSON {"features": [[...]]}
+                                   JSON {"features": [[...]]} -- or RAW
+                                   VIDEO bytes (Content-Type: video/*) when
+                                   the pipeline has a clip_encoder: the
+                                   server decodes on the host (ffmpeg/cv2)
+                                   and extracts clip features through the
+                                   jitted CLIP tower before registering,
+                                   closing the demo path's raw-video
+                                   capability for API clients
+                                   (main_gradio.py:117-123 extract_vid)
       DELETE /videos/<id>       -> evict
       POST   /ground            -> {"video": id, "query_feats": [[...]],
                                    "top_k": 5} or {"query": "text"} when the
@@ -341,9 +349,11 @@ class GroundingServer:
                 if body is None:
                     return
                 try:
-                    feats = service._parse_features(
-                        body, self.headers.get("Content-Type", "")
-                    )
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("video/"):
+                        feats = service._extract_video(body, ctype)
+                    else:
+                        feats = service._parse_features(body, ctype)
                     self._reply(200, service.store.put(video_id, feats))
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
@@ -504,6 +514,30 @@ class GroundingServer:
         if feats.ndim != 2 or len(feats) == 0:
             raise ValueError(f"features must be (T, D), got {feats.shape}")
         return feats
+
+    def _extract_video(self, body: bytes, content_type: str) -> np.ndarray:
+        """Raw video bytes -> (T, embed_dim) clip features: host decode
+        (extract/video.decode_frames via ffmpeg or cv2) feeding the jitted
+        CLIP image tower in uint8 batches (extract/pipeline.vid2clip).
+        Decoders need a real file path, so the body lands in a temp file
+        for the duration of the call."""
+        if self.pipeline.clip_encoder is None:
+            raise ValueError(
+                "raw-video registration needs the pipeline constructed "
+                "with a clip_encoder; send pre-extracted features instead"
+            )
+        import tempfile
+
+        from univtg_tpu.extract.pipeline import vid2clip
+
+        suffix = "." + (content_type.split("/", 1)[1].split(";")[0] or "mp4")
+        with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+            f.write(body)
+            f.flush()
+            return vid2clip(
+                self.pipeline.clip_encoder, f.name,
+                clip_len=self.pipeline.clip_len,
+            )
 
     def _query_features(self, req: dict) -> np.ndarray:
         if "query_feats" in req:

@@ -207,10 +207,31 @@ def plot_hl_paper(pred_row, gt_row, out_path=None, baseline_row=None,
     return fig
 
 
-def plot_frame_strip(video_path, duration, query, out_path=None, n_frames=None):
+def apply_template(frame, template_path):
+    """Composite an RGBA template PNG over a frame (plot/qvhl.py:21-33):
+    the frame is pasted onto a white canvas 1.4x its height (offset 19%
+    down) and the template is alpha-composited full-canvas on top -- the
+    reference uses this to draw the film-strip sprocket border on paper
+    figures. Returns an RGB numpy array."""
+    from PIL import Image
+
+    frame = Image.fromarray(frame)
+    template = Image.open(template_path).convert("RGBA")
+    width, height = frame.size
+    new_size = (width, int(height * 1.4))
+    canvas = Image.new("RGBA", new_size, (255, 255, 255, 255))
+    canvas.paste(frame, (0, int(height * 0.19)))
+    template = template.resize(new_size, Image.LANCZOS)
+    return np.array(Image.alpha_composite(canvas, template).convert("RGB"))
+
+
+def plot_frame_strip(video_path, duration, query, out_path=None,
+                     n_frames=None, template_path=None):
     """Frame strip with the query as a banner (plot/qvhl.py:35-89, sans the
-    PIL font pipeline -- matplotlib renders the text). Returns None when the
-    video file is absent (figures still render without the strip)."""
+    PIL font pipeline -- matplotlib renders the text). Optional
+    ``template_path`` overlays the reference's film-strip template on each
+    frame (apply_template). Returns None when the video file is absent
+    (figures still render without the strip)."""
     if not os.path.exists(video_path):
         return None
     import cv2
@@ -228,7 +249,10 @@ def plot_frame_strip(video_path, duration, query, out_path=None, n_frames=None):
         ok, frame = cap.read()
         if not ok:
             break
-        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if template_path and os.path.exists(template_path):
+            frame = apply_template(frame, template_path)
+        frames.append(frame)
     cap.release()
     if not frames:
         return None
@@ -248,7 +272,8 @@ def plot_frame_strip(video_path, duration, query, out_path=None, n_frames=None):
 
 def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
                       video_path=None, clip_len: float = 2.0,
-                      seg_num: int = 15, pred_num=None):
+                      seg_num: int = 15, pred_num=None,
+                      template_path=None):
     """One query -> the reference's per-sample figure set (plot/qvhl.py
     plot_sample, :265-295): {iou}_{n_windows}_{vid}_{qid}/ containing
     1_mr.jpg, 2_hl.jpg, optional 0_vid.jpg, and combined.jpg."""
@@ -281,6 +306,7 @@ def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
             video_path, float(gt_row["duration"]),
             pred_row.get("query", gt_row.get("query", "")),
             os.path.join(save_dir, "0_vid.jpg"),
+            template_path=template_path,
         )
         if f is not None:
             parts.append(os.path.join(save_dir, "0_vid.jpg"))
@@ -314,7 +340,8 @@ def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
 
 def plot_comparison_set(pred_jsonl, gt_jsonl, out_dir, baseline_jsonl=None,
                         video_dir=None, max_queries: int = 10,
-                        clip_len: float = 2.0, pred_num=None):
+                        clip_len: float = 2.0, pred_num=None,
+                        template_path=None):
     """Paper-figure batch driver over submission jsonls (the reference ships
     plot/qvhl/{univtg,momentdetr,gt}.jsonl as inputs for exactly this)."""
     from univtg_tpu.data.features import load_jsonl
@@ -335,7 +362,7 @@ def plot_comparison_set(pred_jsonl, gt_jsonl, out_dir, baseline_jsonl=None,
         made.append(
             render_comparison(
                 row, gt, out_dir, bases.get(row["qid"]), video_path,
-                clip_len, pred_num=pred_num,
+                clip_len, pred_num=pred_num, template_path=template_path,
             )
         )
         if len(made) >= max_queries:

@@ -59,6 +59,15 @@ class HLTrainConfig:
     seed: int = 2018
     dp: Optional[int] = None
     tp: int = 1
+    # shared hot-loop runtime knobs (train/epoch_runner.py) -- the same
+    # machinery the MR/VLP driver runs: host-side transfer casting
+    # ('float32' | 'bfloat16' | 'int8'), background prefetch
+    # double-buffering, and the XProf profile window over the first
+    # profile_steps steps of the first epoch of the FIRST domain
+    transfer_dtype: str = "float32"
+    prefetch_depth: int = 2
+    profile_dir: str = ""
+    profile_steps: int = 5
 
 
 def _pred_scores(cfg: HLTrainConfig, outputs):
@@ -171,6 +180,9 @@ def train_hl(cfg: HLTrainConfig) -> dict:
     )
     eval_step = jax.jit(lambda params, mi: forward(model, params, mi, train=False))
 
+    from univtg_tpu.train.epoch_runner import StepProfiler, run_train_epoch
+
+    profiler = StepProfiler(cfg.profile_dir, cfg.profile_steps)
     for di, domain in enumerate(domains):
         dataset, loader = (first_ds, first_loader) if di == 0 else make_loader(domain)
         # fresh model per domain (train_hl.py:193-209)
@@ -182,10 +194,21 @@ def train_hl(cfg: HLTrainConfig) -> dict:
         for epoch in range(cfg.n_epoch):
             dataset.set_state("train")
             loader.set_epoch(epoch)
-            for batch in loader:
-                mi = shard_batch(mesh, batch["model_inputs"])
-                tg = shard_batch(mesh, batch["targets"])
-                state, metrics = train_step(state, mi, tg, rng)
+            profiler.start()
+            n_done = 0
+
+            def _rec(metrics):
+                nonlocal n_done
+                n_done += 1
+                profiler.after_step(n_done, metrics)
+
+            state, _ = run_train_epoch(
+                loader, train_step, state, rng, mesh,
+                transfer_dtype=cfg.transfer_dtype,
+                prefetch_depth=cfg.prefetch_depth,
+                record=_rec,
+            )
+            profiler.stop()
             if (epoch + 1) % cfg.eval_epoch == 0:
                 mAP = eval_domain(cfg, model, state.params, dataset, eval_step)
                 if mAP > best:

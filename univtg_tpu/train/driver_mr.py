@@ -103,10 +103,13 @@ class TrainConfig:
     #     grows with the microbatch count M);
     #   "1f1b"  -- true one-forward-one-backward with manual per-chunk vjp
     #     (train/steps_1f1b.py): activation memory O(pp) independent of M,
-    #     the schedule for large-M small-bubble training. Needs tp=1,
-    #     interleave=1, post-norm, univtg. Eval always decodes through the
-    #     forward (GPipe) path -- identical numerics, forward has no
-    #     schedule choice to make.
+    #     the schedule for large-M small-bubble training. tp > 1 and
+    #     pipeline_interleave > 1 compose (collective-uniform ticks /
+    #     device-major state, managed here); src_cls TAL banks ride the
+    #     heads bundle. Needs post-norm (pre_norm=False), scan_steps=1,
+    #     model_id='univtg'. Eval always decodes through the forward
+    #     (GPipe) path -- identical numerics, forward has no schedule
+    #     choice to make.
     pipeline_schedule: str = "gpipe"
     num_io_threads: int = 8
     use_gates: bool = False  # per-sample loss gating (VLP multi-corpus)
@@ -167,21 +170,8 @@ class TrainConfig:
     sharded_eval: bool = False
 
 
-def _strip_meta(batch, transfer_dtype: str = "float32"):
-    mi = batch["model_inputs"]
-    if transfer_dtype == "int8":
-        from univtg_tpu.data.collate import quantize_for_transfer
-
-        mi = quantize_for_transfer(mi)
-    elif transfer_dtype != "float32":
-        import ml_dtypes
-
-        dt = np.dtype(getattr(ml_dtypes, transfer_dtype, transfer_dtype))
-        mi = {
-            k: (v.astype(dt) if k in ("src_txt", "src_vid") else v)
-            for k, v in mi.items()
-        }
-    return mi, batch["targets"]
+# single implementation shared with the HL/QFVS drivers
+from univtg_tpu.train.epoch_runner import strip_meta as _strip_meta  # noqa: E402
 
 
 def build_model(cfg: TrainConfig):
@@ -218,10 +208,16 @@ def train_mr(
     the saved epoch. resume='auto' picks up results_dir/model_latest.ckpt
     with resume_all semantics (elastic restart)."""
     if cfg.ep > 1:
-        if cfg.pp > 1:
+        if cfg.model.moe_experts <= 1:
             raise ValueError(
-                "ep > 1 (expert parallelism) is incompatible with pp > 1: "
-                "MoE + pipeline is rejected at the model level"
+                f"ep={cfg.ep} needs a MoE model (moe_experts > 1): a dense "
+                "model would silently replicate all compute across the ep "
+                "axis, wasting those devices"
+            )
+        if cfg.model.moe_top_k > cfg.model.moe_experts:
+            raise ValueError(
+                f"moe_top_k={cfg.model.moe_top_k} must be <= "
+                f"moe_experts={cfg.model.moe_experts}"
             )
         if cfg.model.moe_experts % cfg.ep != 0:
             raise ValueError(
@@ -256,15 +252,14 @@ def train_mr(
             "pipeline_pre_permuted is an execution layout the driver manages "
             "internally (checkpoints/opt.json stay canonical); leave it False"
         )
-    if cfg.num_shards > 1 or jax.process_count() > 1:
-        # rank-0-only _eval_once would emit the pipeline shard_map over the
-        # global multi-host mesh from a single process -- non-addressable
-        # devices / collective deadlock. Needs an SPMD eval path first.
-        raise ValueError(
-            "pipeline parallelism (pp > 1) is single-process for now; "
-            "combine pp with dp WITHIN one process, or use num_shards > 1 "
-            "with dp/tp only"
-        )
+    # Multi-process pp composes with dp-across-hosts: the mesh lays pp over
+    # each host's local devices (make_mesh row-major (dp, pp, tp) order) and
+    # training runs one global SPMD program. Evaluation cannot use the
+    # pipelined model from rank 0 alone (its shard_map spans non-addressable
+    # devices), so under a process gang the driver evaluates through a LOCAL
+    # non-pipeline model on host-gathered canonical params instead
+    # (_train_mr_impl: needs_local_eval) -- the sequential scan forward is
+    # numerically identical to the pipeline forward (tests/test_pipeline.py).
     v = max(1, cfg.model.pipeline_interleave)
     if cfg.model.num_layers % (cfg.pp * v) != 0:
         raise ValueError(
@@ -284,7 +279,13 @@ def train_mr(
                 "pipeline_schedule='1f1b' needs pre_norm=False and "
                 "scan_steps=1"
             )
-    mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp)
+        if cfg.model.moe_experts > 1:
+            raise ValueError(
+                "pipeline_schedule='1f1b' does not support MoE (the manual "
+                "per-chunk vjp engine does not carry the load-balance aux "
+                "loss); use pipeline_schedule='gpipe' for pp x MoE"
+            )
+    mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp, ep=cfg.ep)
     n_micro = cfg.model.pipeline_microbatches or cfg.pp
     dp_size = mesh.shape["dp"]
     for name, b in (("bsz", cfg.bsz), ("eval_bsz", cfg.eval_bsz)):
@@ -459,6 +460,24 @@ def _train_mr_impl(
             model, optimizer, cfg.weights, tuple(cfg.losses), use_gates=cfg.use_gates
         )
         eval_step = make_eval_step(model, cfg.eval_mode)
+    # Multi-process pipeline parallelism: rank-0 (or stride-sharded) eval
+    # cannot run the pipelined model -- its shard_map spans devices the
+    # evaluating process cannot address. Instead every evaluating rank
+    # decodes through a LOCAL non-pipeline twin on the host-gathered
+    # canonical params; the sequential scan forward is numerically
+    # identical to the pipeline forward (pinned by tests/test_pipeline.py).
+    eval_params_of = lambda hs: hs.params  # noqa: E731
+    if cfg.pp > 1 and jax.process_count() > 1:
+        local_eval_model = UniVTG(
+            dataclasses.replace(
+                cfg.model,
+                pipeline_stages=0,
+                pipeline_pre_permuted=False,
+                seq_shard=False,
+            )
+        )
+        eval_step = make_eval_step(local_eval_model, cfg.eval_mode)
+        eval_params_of = lambda hs: _to_canonical_state(hs).params  # noqa: E731
     scan_step = None
     if cfg.scan_steps > 1 and cfg.model_id != "moment_detr":
         from univtg_tpu.train.steps import make_scan_train_step
@@ -591,20 +610,24 @@ def _train_mr_impl(
                     n_steps += 1
                     record(metrics)
             else:
-                from univtg_tpu.data.prefetch import device_prefetch
+                # shared hot loop (train/epoch_runner.py): transfer cast +
+                # prefetch double-buffering, same machinery the HL/QFVS
+                # drivers run
+                from univtg_tpu.train.epoch_runner import run_train_epoch
 
-                def _prep(batch):
-                    mi, tg = _strip_meta(batch, cfg.transfer_dtype)
-                    return shard_batch(mesh, mi), shard_batch(mesh, tg)
-
-                # background thread quantizes/casts + device_puts batch N+1
-                # while the device runs step N (double buffering)
-                for model_inputs, targets in device_prefetch(
-                    train_loader, _prep, cfg.prefetch_depth
-                ):
-                    state, metrics = train_step(state, model_inputs, targets, rng)
+                def _rec(metrics):
+                    # record() reads n_steps for the profiler window, so
+                    # the count must advance BEFORE each record call
+                    nonlocal n_steps
                     n_steps += 1
                     record(metrics)
+
+                state, _ = run_train_epoch(
+                    train_loader, train_step, state, rng, mesh,
+                    transfer_dtype=cfg.transfer_dtype,
+                    prefetch_depth=cfg.prefetch_depth,
+                    record=_rec,
+                )
             dt = time.time() - t0
             # per-key counts: scan and single-step metrics can differ in key
             # sets (e.g. grad_norm is single-step only)
@@ -640,12 +663,14 @@ def _train_mr_impl(
             if cfg.sharded_eval and jax.process_count() > 1:
                 # collective: every rank scores its shard, rank 0 merges
                 metrics = _eval_once_sharded(
-                    cfg, model, host_state.params, eval_ds, eval_step, epoch
+                    cfg, model, eval_params_of(host_state), eval_ds,
+                    eval_step, epoch,
                 )
             if is_main:
                 if metrics is None:
                     metrics = _eval_once(
-                        cfg, model, host_state.params, eval_ds, eval_step, epoch
+                        cfg, model, eval_params_of(host_state), eval_ds,
+                        eval_step, epoch,
                     )
                 eval_log.write(json.dumps({"epoch": epoch, **metrics["brief"]}) + "\n")
                 eval_log.flush()

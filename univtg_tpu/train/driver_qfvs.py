@@ -56,6 +56,14 @@ class QFVSTrainConfig:
     splits: Sequence[Sequence[int]] = ((2, 3, 4), (1, 3, 4), (1, 2, 4), (1, 2, 3))
     seed: int = 2018
     max_q_l: int = 32
+    # shared hot-loop runtime knobs (train/epoch_runner.py machinery):
+    # prefetch_depth > 0 runs the host-side 3-variant batch prep
+    # (prepare_qfvs_batch + GT grid scatter) in a background thread while
+    # the device executes the previous item's 3-forward step; the profile
+    # window covers the first profile_steps steps of the first epoch
+    prefetch_depth: int = 2
+    profile_dir: str = ""
+    profile_steps: int = 5
 
 
 def make_qfvs_train_step(model, optimizer, weights: LossWeights):
@@ -219,22 +227,39 @@ def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
 
         best = {"F": 0.0}
         order = np.arange(len(dataset))
+        from univtg_tpu.data.prefetch import device_prefetch
+        from univtg_tpu.train.epoch_runner import StepProfiler
+
+        profiler = StepProfiler(cfg.profile_dir, cfg.profile_steps)
+
+        def _prep(idx):
+            item = dataset[int(idx)]
+            in1, in2, in_oracle, mask_flat = prepare_qfvs_batch(item, cfg.max_q_l)
+            S, F = item["mask_GT"].shape
+            gts = [
+                compact_to_grid(
+                    item[key][: int(item["seg_len"].sum())], item["seg_len"], S, F
+                )
+                for key in ("concept1_GT", "concept2_GT", "oracle_summary")
+            ]
+            return in1, in2, in_oracle, gts, mask_flat
+
         for epoch in range(cfg.n_epoch):
             dataset.set_epoch(epoch)
             np.random.default_rng((cfg.seed, epoch)).shuffle(order)
-            for idx in order:
-                item = dataset[int(idx)]
-                in1, in2, in_oracle, mask_flat = prepare_qfvs_batch(item, cfg.max_q_l)
-                S, F = item["mask_GT"].shape
-                gts = [
-                    compact_to_grid(
-                        item[key][: int(item["seg_len"].sum())], item["seg_len"], S, F
-                    )
-                    for key in ("concept1_GT", "concept2_GT", "oracle_summary")
-                ]
+            profiler.start()
+            n_done = 0
+            # the host-side prep (3-variant batch build + GT grid scatter)
+            # for item N+1 overlaps the device's step N
+            for in1, in2, in_oracle, gts, mask_flat in device_prefetch(
+                list(order), _prep, cfg.prefetch_depth
+            ):
                 state, metrics = train_step(
                     state, in1, in2, in_oracle, gts[0], gts[1], gts[2], mask_flat, rng
                 )
+                n_done += 1
+                profiler.after_step(n_done, metrics)
+            profiler.stop()
             if (epoch + 1) % cfg.eval_epoch == 0:
                 scores = eval_split(cfg, model, state.params, test_video, videos_tag, fwd=eval_fwd)
                 if scores["F"] > best["F"]:

@@ -54,6 +54,7 @@ def make_1f1b_train_step(
     use_gates: bool = False,
     n_micro: int = 0,
     donate: bool = True,
+    static_inputs=None,
 ):
     """Returns jitted (state, model_inputs, targets, rng) -> (state, metrics)
     running the encoder under the 1F1B schedule.
@@ -68,8 +69,15 @@ def make_1f1b_train_step(
     ``cfg.pipeline_interleave > 1`` runs the interleaved
     1F1B schedule (bubble time / v); the training state should then be in
     device-major chunk order (``cfg.pipeline_pre_permuted``, managed by
-    the driver) or the engine gathers the permutation per step. The
-    class-bank TAL inputs (``src_cls``) are not supported on this path.
+    the driver) or the engine gathers the permutation per step.
+
+    TAL class-bank inputs (``src_cls``/``src_cls_mask``, via
+    ``static_inputs`` or the per-batch model_inputs) ride the same path as
+    in make_train_step: ``cls_tok`` is produced by the ``pre`` vjp and
+    enters the engine bundled WITH the head params -- the engine's
+    replicated-pytree vjp + last-chunk accumulation + psum is exactly the
+    semantics a microbatch-constant side input needs, so no engine change
+    is involved. The returned cotangent flows back through ``pre``.
 
     n_micro: microbatch count M (0 -> cfg.pipeline_microbatches or
     cfg.pipeline_stages). Larger M shrinks the pipeline bubble at constant
@@ -85,6 +93,14 @@ def make_1f1b_train_step(
         raise ValueError(
             "make_1f1b_train_step supports post-norm encoders only (a "
             "pre-norm final LayerNorm is not part of the staged layer stack)"
+        )
+    if cfg.moe_experts > 1:
+        raise ValueError(
+            "make_1f1b_train_step does not support MoE: the manual "
+            "per-chunk vjp engine does not carry the sown load-balance aux "
+            "loss (each mid-stage backward only receives the ring "
+            "cotangent). Use the GPipe schedule for pp x MoE "
+            "(pipeline_layers collect_aux)."
         )
     if cfg.pipeline_pre_permuted and cfg.pipeline_interleave <= 1:
         raise ValueError(
@@ -109,14 +125,23 @@ def make_1f1b_train_step(
         cfg.dtype,
     )
 
-    def heads_apply(head_params, memory, vid, txt, vid_mask, txt_mask):
+    def heads_apply(bundle, memory, vid, txt, vid_mask, txt_mask):
+        # `bundle` rides the engine's replicated head-params slot; it may
+        # carry the projected TAL class bank next to the actual params
+        cls_tok = bundle.get("cls_tok")
+        cls_mask = (
+            None if cls_tok is None
+            else jax.lax.stop_gradient(bundle["cls_mask"])
+        )
         return model.apply(
-            {"params": head_params},
+            {"params": bundle["params"]},
             memory,
             vid,
             txt,
             vid_mask,
             txt_mask,
+            cls_tok,
+            cls_mask,
             method=UniVTG.heads,
             train=False,  # heads carry no dropout
         )
@@ -127,12 +152,11 @@ def make_1f1b_train_step(
         return ld["loss_overall"], ld
 
     def step(state: TrainState, model_inputs, targets, rng):
-        if model_inputs.get("src_cls") is not None:
-            raise NotImplementedError(
-                "src_cls (TAL class bank) is not wired through the 1F1B "
-                "path; use make_train_step"
-            )
+        if static_inputs:
+            model_inputs = {**model_inputs, **static_inputs}
         model_inputs = dequantize_inputs(model_inputs)
+        src_cls = model_inputs.get("src_cls")
+        src_cls_mask = model_inputs.get("src_cls_mask")
         pre_rng, drop_rng, path_rng = jax.random.split(
             jax.random.fold_in(rng, state.step), 3
         )
@@ -151,12 +175,18 @@ def make_1f1b_train_step(
                 txt_mask,
                 model_inputs["src_vid"],
                 vid_mask,
+                src_cls,
+                src_cls_mask,
                 method=UniVTG.pre,
                 train=True,
                 rngs={"dropout": pre_rng},
             )
 
-        (src, mask, pos, vid, txt, _cls), pre_vjp = jax.vjp(pre_fn, pre_params)
+        (src, mask, pos, vid, txt, cls_tok), pre_vjp = jax.vjp(pre_fn, pre_params)
+        heads_bundle = {"params": head_params}
+        if cls_tok is not None:
+            heads_bundle["cls_tok"] = cls_tok
+            heads_bundle["cls_mask"] = src_cls_mask
 
         (
             loss,
@@ -169,7 +199,7 @@ def make_1f1b_train_step(
             d_txt,
         ) = pipeline_1f1b(
             stacked,
-            head_params,
+            heads_bundle,
             src,
             mask,
             pos,
@@ -191,8 +221,10 @@ def make_1f1b_train_step(
         )
         if d_pos is None:
             d_pos = jnp.zeros_like(pos)
+        d_cls = d_heads.get("cls_tok")  # None when no class bank rode along
+        d_heads = d_heads["params"]
         (d_pre,) = pre_vjp(
-            (d_src, jnp.zeros_like(mask), d_pos, d_vid, d_txt, None)
+            (d_src, jnp.zeros_like(mask), d_pos, d_vid, d_txt, d_cls)
         )
 
         # reassemble the full gradient tree: encoder stack from the engine,
