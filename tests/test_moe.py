@@ -388,16 +388,107 @@ def test_moe_pipeline_microbatched_learns_and_routes():
     assert np.abs(p_router - p0_router).max() > 0
 
 
-def test_moe_1f1b_rejected():
-    """The manual-vjp 1F1B engine cannot carry the aux loss; it must refuse
-    MoE configs loudly (GPipe is the supported pp x MoE schedule)."""
+@pytest.mark.parametrize(
+    "pp,dp,tp,n_micro",
+    [
+        (2, 1, 1, 4),  # cond-branch path
+        (2, 2, 1, 2),  # + dp: per-(microbatch x dp-shard) routing
+        (2, 1, 2, 4),  # collective-uniform path (tp AUTO axis)
+    ],
+)
+def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, n_micro):
+    """1F1B x MoE (round 5): every chunk's backward recomputes its sown
+    load-balance aux and seeds the constant cotangent
+    w/(layers x M x dp) through the SAME per-chunk vjp that produces the
+    task gradients. The 3-step trajectory (losses AND final params) equals
+    plain autodiff of the microbatched loss where each block's
+    compute_losses includes its own aux term -- identical routing locality,
+    so the match is exact."""
+    import optax as _optax
+
+    from univtg_tpu.models.losses import compute_losses
+    from univtg_tpu.parallel import param_shardings
+    from univtg_tpu.train.steps import forward
     from univtg_tpu.train.steps_1f1b import make_1f1b_train_step
 
-    cfg = _moe_cfg(num_layers=4, pipeline_stages=2)
-    with pytest.raises(ValueError, match="MoE"):
-        make_1f1b_train_step(
-            UniVTG(cfg), optax.sgd(1e-2), LossWeights(), n_micro=2
+    B = 8
+    cfg_pipe = _moe_cfg(num_layers=4, pipeline_stages=pp)
+    cfg_seq = _moe_cfg(num_layers=4)
+    model_seq = UniVTG(cfg_seq)
+    mi, tg = _batch(B=B)
+    mi = {k: jnp.asarray(v) for k, v in mi.items()}
+    tg = {k: jnp.asarray(v) for k, v in tg.items()}
+    weights = LossWeights()
+    opt = _optax.sgd(1e-2)
+
+    n_blocks = n_micro * dp
+    bs = B // n_blocks
+
+    def ref_step(state, mi, tg):
+        def loss_fn(params):
+            tot = 0.0
+            for i in range(n_blocks):
+                sl = slice(i * bs, (i + 1) * bs)
+                mib = {k: v[sl] for k, v in mi.items()}
+                tgb = jax.tree_util.tree_map(lambda a: a[sl], tg)
+                out = forward(
+                    model_seq, params, mib, train=True,
+                    rngs={
+                        "dropout": jax.random.PRNGKey(0),
+                        "droppath": jax.random.PRNGKey(0),
+                    },
+                )
+                tot = tot + compute_losses(out, tgb, weights)["loss_overall"]
+            return tot / n_blocks
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        return (
+            state.replace(
+                params=optax.apply_updates(state.params, updates),
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            loss,
         )
+
+    state_ref = init_state(model_seq, cfg_seq, opt, jax.random.PRNGKey(0))
+    ref_losses = []
+    for _ in range(3):
+        state_ref, loss = jax.jit(ref_step)(state_ref, mi, tg)
+        ref_losses.append(float(loss))
+
+    model = UniVTG(cfg_pipe)
+    mesh = make_mesh(dp=dp, tp=tp, pp=pp, devices=jax.devices()[: dp * pp * tp])
+    state = init_state(model, cfg_pipe, opt, jax.random.PRNGKey(0))
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    step = make_1f1b_train_step(model, opt, weights, n_micro=n_micro)
+    smi, stg = shard_batch(mesh, mi), shard_batch(mesh, tg)
+    losses, auxes = [], []
+    with jax.set_mesh(mesh):
+        for _ in range(3):
+            state, m = step(state, smi, stg, jax.random.PRNGKey(1))
+            losses.append(float(m["loss_overall"]))
+            auxes.append(float(m["loss_moe_aux"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-5, atol=2e-6)
+    assert all(np.isfinite(a) for a in auxes), auxes
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        ),
+        jax.device_get(state.params),
+        jax.device_get(state_ref.params),
+    )
+    # the ROUTER moved: aux gradient reached mid-stage chunks through the
+    # constant cotangent (it cannot arrive via the ring cotangent)
+    r0 = init_state(model_seq, cfg_seq, opt, jax.random.PRNGKey(0)).params
+    r0 = np.asarray(r0["encoder"]["layers"]["layer"]["moe_router"])
+    r1 = np.asarray(
+        jax.device_get(state.params["encoder"]["layers"]["layer"]["moe_router"])
+    )
+    assert np.abs(r1 - r0).max() > 0
 
 
 def test_moe_eval_forward_no_mutable():

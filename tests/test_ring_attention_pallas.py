@@ -97,3 +97,33 @@ def test_pallas_ring_rejects_ragged_shard():
         ring_attention_pallas(
             q, k, v, mask, num_heads=2, mesh=mesh, axis="tp", interpret=True
         )
+
+
+def test_ring_pallas_impl_in_encoder_eval():
+    """attention_impl='ring_pallas' through the full model under a tp mesh
+    (eval path): outputs equal the 'xla' impl; with dropout active
+    (training) the impl falls back to the differentiable XLA ring."""
+    from univtg_tpu.models import ModelConfig, UniVTG
+
+    base = ModelConfig(
+        vid_dim=34, txt_dim=16, hidden_dim=32, num_layers=1, num_heads=4,
+        ffn_dim=48, max_v_l=28, max_q_l=4,
+    )
+    ring_cfg = ModelConfig(**{**base.__dict__, "attention_impl": "ring_pallas"})
+    rng = np.random.default_rng(7)
+    B, Lv, Lt = 2, 28, 4  # Lv+Lt = 32 tiles over tp=4
+    args = (
+        jnp.asarray(rng.standard_normal((B, Lt, 16)), jnp.float32),
+        jnp.ones((B, Lt), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, Lv, 34)), jnp.float32),
+        jnp.ones((B, Lv), jnp.float32),
+    )
+    params = UniVTG(base).init(jax.random.PRNGKey(0), *args, train=False)["params"]
+    want = UniVTG(base).apply({"params": params}, *args, train=False)
+    mesh = make_mesh(dp=1, tp=4)
+    with jax.set_mesh(mesh):
+        got = UniVTG(ring_cfg).apply({"params": params}, *args, train=False)
+    for k in ("pred_logits", "pred_spans", "saliency_scores"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=3e-5, err_msg=k
+        )

@@ -106,6 +106,32 @@ def multihead_attention(
     k = k_in @ in_proj_kernel[:, D : 2 * D] + in_proj_bias[D : 2 * D]
     v = v_in @ in_proj_kernel[:, 2 * D :] + in_proj_bias[2 * D :]
 
+    if impl == "ring_pallas":
+        # hand-scheduled RDMA ring (ops/ring_attention_pallas.py):
+        # inference-only (no vjp; the kernel overlaps the inter-chip K/V
+        # hop under the block matmuls). Falls back to the differentiable
+        # XLA-collective ring when dropout is active (training) and from
+        # there to xla when no suitable mesh is live.
+        import jax as _jax
+
+        mesh = _jax.sharding.get_abstract_mesh()
+        if (
+            dropout_rate > 0.0
+            or mesh is None
+            or not mesh.shape
+            or "tp" not in mesh.shape
+            or q.shape[1] % mesh.shape["tp"] != 0
+        ):
+            impl = "ring"
+        else:
+            from univtg_tpu.ops.ring_attention_pallas import (
+                ring_attention_pallas,
+            )
+
+            out = ring_attention_pallas(
+                q, k, v, key_padding_mask, num_heads=num_heads, mesh=mesh,
+                axis="tp", interpret=jax.default_backend() != "tpu",
+            )
     if impl == "ring":
         # context-parallel: needs an active jax.set_mesh with a "tp" axis
         # whose size tiles the token length; falls back to xla otherwise
@@ -148,7 +174,7 @@ def multihead_attention(
                 ),
             )
         out = flash_attention(q, k, v, key_padding_mask, num_heads=num_heads, **kw)
-    elif impl != "ring":
+    elif impl not in ("ring", "ring_pallas"):
         bias = None
         if key_padding_mask is not None:
             bias = attention_scores_bias(key_padding_mask)

@@ -53,11 +53,19 @@ _COLLECTIVE_ID = 7
 
 def _ring_kernel(
     q_ref, k_ref, v_ref, mask_ref, out_ref,
-    kbuf, vbuf, mbuf, m_scr, l_scr, acc_scr,
+    kbuf, vbuf, mbuf,
     send_sem, recv_sem, cap_sem,
     *, axis: str, n_dev: int, mesh_axes: tuple,
 ):
-    """Per-device body. q/k/v refs: (B, H, L_loc, dh); mask: (B, L_loc).
+    """Per-device body. q/k/v refs: (BH, L_loc, dh) with batch and heads
+    collapsed into one leading dim; mask: (BH, L_loc).
+
+    The online-softmax state (m, l, acc) lives in REGISTERS: the ring loop
+    and the BH loop are both static Python loops, so the accumulators flow
+    through the trace as values -- no VMEM scratch, and every arithmetic op
+    is 2D per (batch x head) row exactly like the proven flash kernel
+    (ops/pallas_attention.py; Mosaic's tpu.matmul supports one batch dim
+    at most, and trailing size-1 lane dims crash its vector layout pass).
 
     kbuf/vbuf/mbuf: (2, ...) VMEM comm rings. send/recv_sem: DMA((2, 3))
     per (slot, tensor). cap_sem: REGULAR counting credit from the right
@@ -75,9 +83,6 @@ def _ring_kernel(
     kbuf[0] = k_ref[...]
     vbuf[0] = v_ref[...]
     mbuf[0] = mask_ref[...]
-    m_scr[...] = jnp.full_like(m_scr[...], -jnp.inf)
-    l_scr[...] = jnp.zeros_like(l_scr[...])
-    acc_scr[...] = jnp.zeros_like(acc_scr[...])
 
     if n_dev > 1:
         # entry barrier with both neighbors: nobody starts RDMA into a
@@ -90,9 +95,12 @@ def _ring_kernel(
             )
         pltpu.semaphore_wait(barrier, 2)
 
-    dh = q_ref.shape[-1]
+    BH, Lq, dh = q_ref.shape
     scale = dh**-0.5
-    qh = q_ref[...].astype(jnp.float32) * scale  # (B, H, Lq, dh)
+    qh = q_ref[...].astype(jnp.float32) * scale  # (BH, Lq, dh)
+    ms = [jnp.full((Lq, 1), -jnp.inf, jnp.float32) for _ in range(BH)]
+    ls = [jnp.zeros((Lq, 1), jnp.float32) for _ in range(BH)]
+    accs = [jnp.zeros((Lq, dh), jnp.float32) for _ in range(BH)]
 
     for t in range(n_dev):
         slot, nxt = t % 2, (t + 1) % 2
@@ -117,26 +125,26 @@ def _ring_kernel(
                 rdmas.append(rdma)
 
         # ---- compute this block's online-softmax partial (overlaps the
-        # in-flight RDMA above) ----
-        kh = kbuf[slot].astype(jnp.float32)       # (B, H, Lk, dh)
+        # in-flight RDMA above); 2D math per (batch x head) row ----
+        kh = kbuf[slot].astype(jnp.float32)       # (BH, Lk, dh)
         vh = vbuf[slot].astype(jnp.float32)
-        maskb = mbuf[slot].astype(jnp.float32)    # (B, Lk)
-        s = jax.lax.dot_general(
-            qh, kh, (((3,), (3,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
-        )  # (B, H, Lq, Lk)
-        s = s + (1.0 - maskb)[:, None, None, :] * NEG_INF
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, vh, (((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32,
-        )  # (B, H, Lq, dh)
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[...] = m_new
+        maskb = mbuf[slot].astype(jnp.float32)    # (BH, Lk)
+        for b in range(BH):
+            s = jax.lax.dot_general(
+                qh[b], kh[b], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Lq, Lk)
+            s = s + (1.0 - maskb[b])[None, :] * NEG_INF
+            m_new = jnp.maximum(ms[b], jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(ms[b] - m_new)
+            ls[b] = ls[b] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, vh[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Lq, dh)
+            accs[b] = accs[b] * alpha + pv
+            ms[b] = m_new
 
         if t < n_dev - 1:
             for rdma in rdmas:
@@ -152,9 +160,10 @@ def _ring_kernel(
                 # slot `nxt`; the SPMD rdma descriptor's recv_sem is ours
                 rdma.wait_recv()
 
-    out_ref[...] = (acc_scr[...] / jnp.maximum(l_scr[...], 1e-30)).astype(
-        out_ref.dtype
-    )
+    for b in range(BH):
+        out_ref[b] = (accs[b] / jnp.maximum(ls[b], 1e-30)).astype(
+            out_ref.dtype
+        )
 
 
 def ring_attention_pallas(
@@ -179,11 +188,18 @@ def ring_attention_pallas(
     dh = D // H
 
     def split_heads(x):
-        return x.reshape(B, x.shape[1], H, dh).transpose(0, 2, 1, 3)
+        # (B, L, D) -> (B*H, L, dh): batch and heads collapse into ONE
+        # leading dim (Mosaic's tpu.matmul supports a single batch dim)
+        return (
+            x.reshape(B, x.shape[1], H, dh)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * H, x.shape[1], dh)
+        )
 
     qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-    mask = key_padding_mask.astype(jnp.float32)
+    mask = jnp.repeat(key_padding_mask.astype(jnp.float32), H, axis=0)
     L_loc = L // n_dev
+    BH = B * H
 
     kernel = functools.partial(
         _ring_kernel, axis=axis, n_dev=n_dev,
@@ -193,30 +209,32 @@ def ring_attention_pallas(
     def per_device(qh, kh, vh, mask):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((B, H, L_loc, dh), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((BH, L_loc, dh), q.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, B, H, L_loc, dh), kh.dtype),   # kbuf
-                pltpu.VMEM((2, B, H, L_loc, dh), vh.dtype),   # vbuf
-                pltpu.VMEM((2, B, L_loc), jnp.float32),       # mbuf
-                pltpu.VMEM((B, H, L_loc, 1), jnp.float32),    # m
-                pltpu.VMEM((B, H, L_loc, 1), jnp.float32),    # l
-                pltpu.VMEM((B, H, L_loc, dh), jnp.float32),   # acc
-                pltpu.SemaphoreType.DMA((2, 3)),              # send
-                pltpu.SemaphoreType.DMA((2, 3)),              # recv
-                pltpu.SemaphoreType.REGULAR,                  # credit
+                pltpu.VMEM((2, BH, L_loc, dh), kh.dtype),   # kbuf
+                pltpu.VMEM((2, BH, L_loc, dh), vh.dtype),   # vbuf
+                pltpu.VMEM((2, BH, L_loc), jnp.float32),    # mbuf
+                pltpu.SemaphoreType.DMA((2, 3)),            # send
+                pltpu.SemaphoreType.DMA((2, 3)),            # recv
+                pltpu.SemaphoreType.REGULAR,                # credit
             ],
+            # collective_id registers the barrier semaphore; Mosaic rejects
+            # it when the (n_dev == 1) degenerate kernel never touches one
             compiler_params=pltpu.CompilerParams(
-                collective_id=_COLLECTIVE_ID, has_side_effects=True
+                has_side_effects=True,
+                **({"collective_id": _COLLECTIVE_ID} if n_dev > 1 else {}),
             ),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(qh, kh, vh, mask)
 
-    spec4 = P(None, None, axis, None)
+    spec3 = P(None, axis, None)
     out = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(spec4, spec4, spec4, P(None, axis)),
-        out_specs=spec4,
+        in_specs=(spec3, spec3, spec3, P(None, axis)),
+        out_specs=spec3,
         check_vma=False,
     )(qh, kh, vh, mask)
-    return out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    return (
+        out.reshape(B, H, L, dh).transpose(0, 2, 1, 3).reshape(B, L, D)
+    )

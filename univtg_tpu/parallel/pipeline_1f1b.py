@@ -169,6 +169,8 @@ def pipeline_1f1b(
     axis: str = "pp",
     interleave: int = 1,
     pre_permuted: bool = False,
+    collect_aux: bool = False,
+    aux_weight: float = 0.0,
 ):
     """Run one pipelined forward+backward over the batch; returns
     ``(loss, metrics, d_stacked, d_heads, d_src, d_pos, d_vid, d_txt)``.
@@ -203,6 +205,19 @@ def pipeline_1f1b(
         (parallel.pipeline.permute_pipeline_params); otherwise the v>1
         path gathers the permutation per call (prefer pre-permuted for
         training -- a cross-device re-gather of the whole stack otherwise).
+      collect_aux / aux_weight: the layer sows a scalar auxiliary loss
+        (the MoE load-balance aux, ops/moe.py). Each chunk's BACKWARD
+        recomputes it (every (microbatch, chunk) backward runs exactly
+        once) and seeds its gradient with the constant cotangent
+        aux_weight / (num_layers * M * dp) through the same per-chunk vjp
+        that produces the task gradients -- so mid-stage routers get task-
+        independent aux gradient they could never receive via the ring
+        cotangent alone. The returned loss is
+        task_weighted_total + aux_weight * aux_mean and
+        metrics['loss_moe_aux'] reports aux_mean (the mean over
+        layers x microbatches x dp shards, matching the GPipe engine's
+        collect_aux semantics -- routing under a pipeline is per
+        (microbatch x dp-shard)).
 
     Returned gradients: d_stacked is sharded P('pp') over the layer axis,
     in the input's layer order, and already dp-reduced; d_heads is
@@ -272,6 +287,8 @@ def pipeline_1f1b(
         # tp rides the shard_map as an AUTO axis; with tp > 1 the tick body
         # must be collective-uniform (no lax.cond around tp collectives)
         uniform=mesh.shape.get("tp", 1) > 1,
+        collect_aux=collect_aux,
+        aux_weight=aux_weight,
     )
     # manual over (dp, pp) only: every other mesh axis (tp) stays AUTO, so
     # tp-sharded stacked matrices (parallel/mesh.py pp x tp specs) keep
@@ -329,7 +346,7 @@ def _1f1b_stage_fn(
     params_stage, head_params, src_m, mask_m, pos_m,
     vid_m, txt_m, vmask_m, tmask_m, targets_m, rng_dropout, rng_droppath,
     *, layer, heads_apply, loss_fn, pp, v, dp, n_micro, num_layers, train,
-    need_pos_grad, axis, uniform=False,
+    need_pos_grad, axis, uniform=False, collect_aux=False, aux_weight=0.0,
 ):
     """Per-device 1F1B body. ``params_stage`` holds this device's
     ``v * (num_layers/(pp*v))`` layer slice in slot-major chunk order (at
@@ -342,6 +359,9 @@ def _1f1b_stage_fn(
     Lc = num_layers // (pp * v)  # layers per chunk
     buf_n = 2 * pp  # per-slot ring; m % 2pp never collides (module docstring)
     inv = 1.0 / (M * dp)  # global loss = mean over (microbatch x dp) blocks
+    # aux cotangent: d(aux_weight * aux_mean)/d(aux_chunk), aux_mean the
+    # mean over (layers x microbatches x dp shards) of per-layer auxes
+    aux_cot = jnp.float32(aux_weight / (num_layers * M * dp))
 
     def slot_params(j):
         return jax.tree_util.tree_map(
@@ -364,23 +384,54 @@ def _1f1b_stage_fn(
                     "dropout": jax.random.fold_in(rng_dropout, gid),
                     "droppath": jax.random.fold_in(rng_droppath, gid),
                 }
+            if collect_aux:
+                h, aux = carry
+                h, ivars = layer.apply(
+                    {"params": p_layer}, h, kmask, posb, train=train,
+                    rngs=rngs, mutable=["intermediates"],
+                )
+                sown = [
+                    jnp.sum(leaf)
+                    for path, leaf in
+                    jax.tree_util.tree_flatten_with_path(ivars)[0]
+                    if any(getattr(p, "key", None) == "moe_aux" for p in path)
+                ]
+                return (h, aux + sum(sown)), None
             h = layer.apply(
                 {"params": p_layer}, carry, kmask, posb, train=train,
                 rngs=rngs,
             )
             return h, None
 
+        if collect_aux:
+            (h, aux), _ = jax.lax.scan(
+                body, (h, jnp.zeros((), jnp.float32)),
+                (p_chunk, jnp.arange(Lc)),
+            )
+            return h, aux
         h, _ = jax.lax.scan(body, h, (p_chunk, jnp.arange(Lc)))
         return h
 
     def f_last(p_chunk, p_heads, h, posb, vid_mb, txt_mb,
                kmask, vmask_mb, tmask_mb, t_mb, m):
         """Last chunk's fused backward target: chunk -> heads -> scaled
-        loss, recomputed from the saved chunk input."""
-        mem = chunk_fwd(p_chunk, h, kmask, posb, m, v - 1)
+        loss, recomputed from the saved chunk input. With collect_aux the
+        chunk's own aux joins the differentiated scalar (weighted) so ONE
+        vjp seeds both task and aux cotangents; the raw aux value rides
+        the vjp aux output for the value accumulator."""
+        if collect_aux:
+            mem, aux_c = chunk_fwd(p_chunk, h, kmask, posb, m, v - 1)
+        else:
+            mem, aux_c = chunk_fwd(p_chunk, h, kmask, posb, m, v - 1), 0.0
         outputs = heads_apply(p_heads, mem, vid_mb, txt_mb, vmask_mb, tmask_mb)
         loss, metrics = loss_fn(outputs, t_mb)
-        return loss * inv, jax.tree_util.tree_map(lambda x: x * inv, metrics)
+        total = loss * inv
+        if collect_aux:
+            total = total + aux_c * aux_cot
+        return total, (
+            jax.tree_util.tree_map(lambda x: x * inv, metrics),
+            jnp.asarray(aux_c, jnp.float32),
+        )
 
     def idx(a, m):
         return jax.lax.dynamic_index_in_dim(a, m, 0, keepdims=False)
@@ -392,7 +443,7 @@ def _1f1b_stage_fn(
         zero_slot, head_params, src_m[0], pos_m[0], vid_m[0], txt_m[0],
         mask_m[0], vmask_m[0], tmask_m[0],
         jax.tree_util.tree_map(lambda a: a[0], targets_m), 0,
-    )[1]
+    )[1][0]
     zero_metrics = jax.tree_util.tree_map(
         lambda sd: jnp.zeros(sd.shape, sd.dtype), metrics_shape
     )
@@ -400,7 +451,7 @@ def _1f1b_stage_fn(
 
     def tick(carry, t):
         (fwd_ring, bwd_ring, buf, d_layers, d_heads, d_src, d_pos,
-         d_vid, d_txt, loss_acc, metrics_acc) = carry
+         d_vid, d_txt, loss_acc, metrics_acc, aux_acc) = carry
 
         # ---- forward phase: device s runs chunk slot j_f, microbatch m_f
         act_f, j_f, m_f = schedule_active(t, s, pp=pp, v=v, n_micro=M)
@@ -422,18 +473,24 @@ def _1f1b_stage_fn(
         # its output permutes to device 0, whose only coinciding consumer
         # is the inject slot (j=0 on s=0), which ignores the ring.
         is_last_f = jnp.logical_and(s == pp - 1, j_f == v - 1)
+
+        def fwd_chunk_only(h, kmask, posb, m, j):
+            # the forward tick only needs the activation; the aux VALUE and
+            # its gradient both come from the backward's recompute (every
+            # (microbatch, chunk) backward runs exactly once)
+            out = chunk_fwd(slot_params(j), h, kmask, posb, m, j)
+            return out[0] if collect_aux else out
+
         if uniform:
-            h_out = chunk_fwd(
-                slot_params(j_f), h_in, idx(mask_m, m_f), idx(pos_m, m_f),
-                m_f, j_f,
+            h_out = fwd_chunk_only(
+                h_in, idx(mask_m, m_f), idx(pos_m, m_f), m_f, j_f
             )
         else:
             h_out = jax.lax.cond(
                 is_last_f,
                 lambda: jnp.zeros_like(h_in),
-                lambda: chunk_fwd(
-                    slot_params(j_f), h_in, idx(mask_m, m_f), idx(pos_m, m_f),
-                    m_f, j_f,
+                lambda: fwd_chunk_only(
+                    h_in, idx(mask_m, m_f), idx(pos_m, m_f), m_f, j_f
                 ),
             )
 
@@ -450,7 +507,7 @@ def _1f1b_stage_fn(
                 p_slot_b, head_params, h_saved, posb_b,
                 idx(vid_m, m_b), idx(txt_m, m_b),
             )
-            loss_mb, vjp, metrics_mb = jax.vjp(
+            loss_mb, vjp, (metrics_mb, aux_mb) = jax.vjp(
                 lambda p, ph, h, pb, vb, tb: f_last(
                     p, ph, h, pb, vb, tb,
                     kmask_b, idx(vmask_m, m_b), idx(tmask_m, m_b),
@@ -460,18 +517,30 @@ def _1f1b_stage_fn(
                 has_aux=True,
             )
             dP, dH, dh, dpos, dv, dt = vjp(jnp.ones((), dtype=jnp.float32))
-            return dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb
+            return dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb, aux_mb
 
         def bwd_mid():
-            _, vjp = jax.vjp(
-                lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
-                p_slot_b, h_saved, posb_b,
-            )
-            dP, dh, dpos = vjp(bwd_ring)
+            if collect_aux:
+                # two primal outputs (h, aux): the aux cotangent is the
+                # CONSTANT aux_cot -- this is how mid-stage routers receive
+                # their load-balance gradient (the ring cotangent alone
+                # carries no aux information)
+                (_, aux_p), vjp = jax.vjp(
+                    lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
+                    p_slot_b, h_saved, posb_b,
+                )
+                dP, dh, dpos = vjp((bwd_ring, aux_cot))
+            else:
+                _, vjp = jax.vjp(
+                    lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
+                    p_slot_b, h_saved, posb_b,
+                )
+                dP, dh, dpos = vjp(bwd_ring)
+                aux_p = jnp.zeros((), jnp.float32)
             return (
                 dP, zero_d_heads, dh, dpos,
                 jnp.zeros_like(vid_m[0]), jnp.zeros_like(txt_m[0]),
-                jnp.zeros((), jnp.float32), zero_metrics,
+                jnp.zeros((), jnp.float32), zero_metrics, aux_p,
             )
 
         def bwd_uniform():
@@ -485,10 +554,17 @@ def _1f1b_stage_fn(
             cross-device (observed as a rendezvous timeout on XLA:CPU).
             Extra cost vs the cond path: the small heads+loss fwd/bwd per
             tick on every device (masked out except on the last chunk)."""
-            mem, vjp_chunk = jax.vjp(
-                lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
-                p_slot_b, h_saved, posb_b,
-            )
+            if collect_aux:
+                (mem, aux_c), vjp_chunk = jax.vjp(
+                    lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
+                    p_slot_b, h_saved, posb_b,
+                )
+            else:
+                mem, vjp_chunk = jax.vjp(
+                    lambda p, h, pb: chunk_fwd(p, h, kmask_b, pb, m_b, j_b),
+                    p_slot_b, h_saved, posb_b,
+                )
+                aux_c = jnp.zeros((), jnp.float32)
 
             def f_heads(ph, mem_, vb, tb):
                 outputs = heads_apply(
@@ -505,16 +581,21 @@ def _1f1b_stage_fn(
             )
             dH, d_mem, dv, dt = vjp_heads(jnp.ones((), jnp.float32))
             cot = jnp.where(is_last_b, d_mem, bwd_ring)
-            dP, dh, dpos = vjp_chunk(cot)
-            return dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb
+            if collect_aux:
+                # EVERY chunk (last included) seeds its aux cotangent here,
+                # uniformly across devices -- no branch needed
+                dP, dh, dpos = vjp_chunk((cot, aux_cot))
+            else:
+                dP, dh, dpos = vjp_chunk(cot)
+            return dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb, aux_c
 
         is_last_b = jnp.logical_and(s == pp - 1, j_b == v - 1)
         if uniform:
-            dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb = bwd_uniform()
+            (dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb,
+             aux_mb) = bwd_uniform()
         else:
-            dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb = jax.lax.cond(
-                is_last_b, bwd_last, bwd_mid
-            )
+            (dP, dH, dh, dpos, dv, dt, loss_mb, metrics_mb,
+             aux_mb) = jax.lax.cond(is_last_b, bwd_last, bwd_mid)
 
         # accumulate the slot's layer grads into its slice of the device's
         # stacked-grad buffer
@@ -556,6 +637,9 @@ def _1f1b_stage_fn(
         )
         loss_acc = loss_acc + jnp.where(write_last, loss_mb, 0.0)
         metrics_acc = _tree_add_masked(metrics_acc, metrics_mb, write_last)
+        # every active backward chunk contributes its aux value (idle-tick
+        # garbage masked out)
+        aux_acc = aux_acc + jnp.where(act_b, aux_mb, 0.0)
 
         # ring transfers: activations s -> s+1, cotangents s -> s-1.
         # The barrier imposes a TOTAL ORDER between the two independent
@@ -573,7 +657,7 @@ def _1f1b_stage_fn(
         )
         return (
             (fwd_ring, bwd_ring, buf, d_layers, d_heads, d_src, d_pos,
-             d_vid, d_txt, loss_acc, metrics_acc),
+             d_vid, d_txt, loss_acc, metrics_acc, aux_acc),
             None,
         )
 
@@ -590,9 +674,10 @@ def _1f1b_stage_fn(
         jnp.zeros_like(txt_m),                     # d_txt
         jnp.zeros((), jnp.float32),                # loss
         zero_metrics,                              # metrics
+        jnp.zeros((), jnp.float32),                # aux value
     )
     (_, _, _, d_layers, d_heads, d_src, d_pos, d_vid, d_txt,
-     loss_acc, metrics_acc) = jax.lax.scan(
+     loss_acc, metrics_acc, aux_acc) = jax.lax.scan(
         tick, carry0, jnp.arange(pipeline_1f1b_ticks(M, pp, v))
     )[0]
 
@@ -602,6 +687,16 @@ def _1f1b_stage_fn(
     psum_all = lambda x: jax.lax.psum(jax.lax.psum(x, axis), "dp")
     loss = psum_all(loss_acc)
     metrics = jax.tree_util.tree_map(psum_all, metrics_acc)
+    if collect_aux:
+        # mean over (layers x microbatches x dp): per-device aux_acc summed
+        # its local chunks' per-layer auxes over all microbatches
+        aux_mean = psum_all(aux_acc) / (num_layers * M * dp)
+        metrics = dict(metrics)
+        metrics["loss_moe_aux"] = aux_mean
+        # reported total = weighted task mean + weighted aux mean (the
+        # loss_acc scalar mixes in the last chunk's aux on the cond path
+        # only -- rebuild the total from the clean components instead)
+        loss = metrics["loss_overall"] + aux_weight * aux_mean
     d_layers = jax.tree_util.tree_map(
         lambda g: jax.lax.psum(g, "dp"), d_layers
     )

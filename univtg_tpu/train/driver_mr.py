@@ -279,12 +279,6 @@ def train_mr(
                 "pipeline_schedule='1f1b' needs pre_norm=False and "
                 "scan_steps=1"
             )
-        if cfg.model.moe_experts > 1:
-            raise ValueError(
-                "pipeline_schedule='1f1b' does not support MoE (the manual "
-                "per-chunk vjp engine does not carry the load-balance aux "
-                "loss); use pipeline_schedule='gpipe' for pp x MoE"
-            )
     mesh = make_mesh(cfg.dp, cfg.tp, pp=cfg.pp, ep=cfg.ep)
     n_micro = cfg.model.pipeline_microbatches or cfg.pp
     dp_size = mesh.shape["dp"]

@@ -94,14 +94,6 @@ def make_1f1b_train_step(
             "make_1f1b_train_step supports post-norm encoders only (a "
             "pre-norm final LayerNorm is not part of the staged layer stack)"
         )
-    if cfg.moe_experts > 1:
-        raise ValueError(
-            "make_1f1b_train_step does not support MoE: the manual "
-            "per-chunk vjp engine does not carry the sown load-balance aux "
-            "loss (each mid-stage backward only receives the ring "
-            "cotangent). Use the GPipe schedule for pp x MoE "
-            "(pipeline_layers collect_aux)."
-        )
     if cfg.pipeline_pre_permuted and cfg.pipeline_interleave <= 1:
         raise ValueError(
             "pipeline_pre_permuted without pipeline_interleave > 1 is "
@@ -123,7 +115,15 @@ def make_1f1b_train_step(
         cfg.pre_norm,
         cfg.attention_impl,
         cfg.dtype,
+        moe_experts=cfg.moe_experts,
+        moe_top_k=cfg.moe_top_k,
+        moe_capacity_factor=cfg.moe_capacity_factor,
     )
+    # MoE: each chunk's backward recomputes the sown load-balance aux and
+    # seeds its gradient with the constant cotangent inside the engine
+    # (pipeline_1f1b collect_aux); the reported loss adds
+    # weights.moe_aux * aux_mean exactly like make_train_step
+    collect_aux = cfg.moe_experts > 1
 
     def heads_apply(bundle, memory, vid, txt, vid_mask, txt_mask):
         # `bundle` rides the engine's replicated head-params slot; it may
@@ -218,6 +218,8 @@ def make_1f1b_train_step(
             need_pos_grad=cfg.use_txt_pos,
             interleave=cfg.pipeline_interleave,
             pre_permuted=cfg.pipeline_pre_permuted,
+            collect_aux=collect_aux,
+            aux_weight=weights.moe_aux,
         )
         if d_pos is None:
             d_pos = jnp.zeros_like(pos)
