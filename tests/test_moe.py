@@ -389,14 +389,16 @@ def test_moe_pipeline_microbatched_learns_and_routes():
 
 
 @pytest.mark.parametrize(
-    "pp,dp,tp,n_micro",
+    "pp,dp,tp,n_micro,extra",
     [
-        (2, 1, 1, 4),  # cond-branch path
-        (2, 2, 1, 2),  # + dp: per-(microbatch x dp-shard) routing
-        (2, 1, 2, 4),  # collective-uniform path (tp AUTO axis)
+        (2, 1, 1, 4, {}),  # cond-branch path
+        (2, 2, 1, 2, {}),  # + dp: per-(microbatch x dp-shard) routing
+        (2, 1, 2, 4, {}),  # collective-uniform path (tp AUTO axis)
+        # interleaved 1F1B (v=2): aux still counted once per (m, chunk)
+        (2, 1, 1, 4, {"num_layers": 8, "pipeline_interleave": 2}),
     ],
 )
-def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, n_micro):
+def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, n_micro, extra):
     """1F1B x MoE (round 5): every chunk's backward recomputes its sown
     load-balance aux and seeds the constant cotangent
     w/(layers x M x dp) through the SAME per-chunk vjp that produces the
@@ -412,8 +414,9 @@ def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, n_micro):
     from univtg_tpu.train.steps_1f1b import make_1f1b_train_step
 
     B = 8
-    cfg_pipe = _moe_cfg(num_layers=4, pipeline_stages=pp)
-    cfg_seq = _moe_cfg(num_layers=4)
+    kw = {"num_layers": 4, **extra}
+    cfg_pipe = _moe_cfg(pipeline_stages=pp, **kw)
+    cfg_seq = _moe_cfg(num_layers=kw["num_layers"])
     model_seq = UniVTG(cfg_seq)
     mi, tg = _batch(B=B)
     mi = {k: jnp.asarray(v) for k, v in mi.items()}

@@ -137,3 +137,41 @@ def test_frame_strip_with_template(tmp_path):
         )
         assert fig is not None and os.path.getsize(out_path) > 10_000
         plt.close(fig)
+
+
+def test_vs_paper_shot_tracks(tmp_path):
+    """QFVS summary figure (plot/qfvs.py:115-215): two shot tracks with the
+    selected cells filled, H:MM:SS end labels at 5 s/shot."""
+    import matplotlib.pyplot as plt
+
+    from univtg_tpu.tools.plots import plot_vs_paper, seconds_to_hms
+
+    assert seconds_to_hms(0) == "0:00:00"
+    assert seconds_to_hms(3725) == "1:02:05"
+    row = {"shots": 120, "gt": [3, 4, 5, 50, 51], "top_pred": [3, 4, 40, 90]}
+    out = str(tmp_path / "vs.jpg")
+    fig = plot_vs_paper(row, out)
+    assert os.path.getsize(out) > 10_000
+    plt.close(fig)
+
+
+def test_render_comparison_part_selection(rows, tmp_path):
+    """MR-only (ego4d/tacos variants) and HL-only (tvsum/youtube variants)
+    figure sets via the `include` selector; the HL figure also renders with
+    gt_row=None (TVSum has no per-query GT rows)."""
+    import matplotlib.pyplot as plt
+
+    from univtg_tpu.tools.plots import plot_hl_paper, render_comparison
+
+    pred, gt, base = rows
+    d = render_comparison(pred, gt, str(tmp_path / "mr_only"), include=("mr",))
+    files = set(os.listdir(d))
+    assert "1_mr.jpg" in files and "2_hl.jpg" not in files
+    d = render_comparison(pred, gt, str(tmp_path / "hl_only"), include=("hl",))
+    files = set(os.listdir(d))
+    assert "2_hl.jpg" in files and "1_mr.jpg" not in files
+
+    fig = plot_hl_paper(pred, None, str(tmp_path / "hl_nogt.jpg"),
+                        baseline_row=base)
+    assert os.path.getsize(str(tmp_path / "hl_nogt.jpg")) > 10_000
+    plt.close(fig)

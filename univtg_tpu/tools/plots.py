@@ -159,11 +159,13 @@ def _gt_saliency_curve(gt_row, length):
     return gt
 
 
-def plot_hl_paper(pred_row, gt_row, out_path=None, baseline_row=None,
+def plot_hl_paper(pred_row, gt_row=None, out_path=None, baseline_row=None,
                   clip_len: float = 2.0, gap: Optional[float] = None):
     """Paper-style saliency comparison (plot/qvhl.py:209-263): min-max
     normalized curves for GT / prediction / optional baseline with colored
-    legend text and periodic time labels."""
+    legend text and periodic time labels. ``gt_row=None`` renders the
+    prediction-vs-baseline-only variant (plot/tvsum.py:92-157 -- the TVSum
+    figures have no per-query GT row)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -171,11 +173,14 @@ def plot_hl_paper(pred_row, gt_row, out_path=None, baseline_row=None,
 
     pred = _minmax(pred_row["pred_saliency_scores"])
     L = len(pred)
-    duration = float(gt_row["duration"])
+    duration = (
+        float(gt_row["duration"]) if gt_row is not None else L * clip_len
+    )
     x = np.arange(L) * clip_len
     fig, ax = plt.subplots(1, 1, figsize=(25, 2.2))
-    ax.plot(x, _gt_saliency_curve(gt_row, L), label="GT Saliency",
-            color=_PAPER["gt"][1], linewidth=4)
+    if gt_row is not None:
+        ax.plot(x, _gt_saliency_curve(gt_row, L), label="GT Saliency",
+                color=_PAPER["gt"][1], linewidth=4)
     ax.plot(x, pred, label="UniVTG's Prediction", color=_PAPER["pred"][1],
             linewidth=4)
     if baseline_row is not None:
@@ -273,10 +278,15 @@ def plot_frame_strip(video_path, duration, query, out_path=None,
 def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
                       video_path=None, clip_len: float = 2.0,
                       seg_num: int = 15, pred_num=None,
-                      template_path=None):
+                      template_path=None, include=("vid", "mr", "hl")):
     """One query -> the reference's per-sample figure set (plot/qvhl.py
     plot_sample, :265-295): {iou}_{n_windows}_{vid}_{qid}/ containing
-    1_mr.jpg, 2_hl.jpg, optional 0_vid.jpg, and combined.jpg."""
+    1_mr.jpg, 2_hl.jpg, optional 0_vid.jpg, and combined.jpg.
+
+    ``include`` selects the parts, covering the per-dataset variants of
+    the reference's plot/ scripts: ("vid", "mr") is the ego4d/tacos
+    MR-only figure (plot/ego4d.py:282-284 -- plot_hl commented out);
+    ("vid", "hl") is the TVSum/YouTube HL figure."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -301,7 +311,7 @@ def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
 
     gap = round(float(gt_row["duration"]) / seg_num) or None
     parts = []
-    if video_path:
+    if video_path and "vid" in include:
         f = plot_frame_strip(
             video_path, float(gt_row["duration"]),
             pred_row.get("query", gt_row.get("query", "")),
@@ -311,14 +321,16 @@ def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
         if f is not None:
             parts.append(os.path.join(save_dir, "0_vid.jpg"))
             plt.close(f)
-    f = plot_mr_paper(pred_row, gt_row, os.path.join(save_dir, "1_mr.jpg"),
-                      baseline_row, pred_num)
-    plt.close(f)
-    parts.append(os.path.join(save_dir, "1_mr.jpg"))
-    f = plot_hl_paper(pred_row, gt_row, os.path.join(save_dir, "2_hl.jpg"),
-                      baseline_row, clip_len, gap)
-    plt.close(f)
-    parts.append(os.path.join(save_dir, "2_hl.jpg"))
+    if "mr" in include:
+        f = plot_mr_paper(pred_row, gt_row, os.path.join(save_dir, "1_mr.jpg"),
+                          baseline_row, pred_num)
+        plt.close(f)
+        parts.append(os.path.join(save_dir, "1_mr.jpg"))
+    if "hl" in include:
+        f = plot_hl_paper(pred_row, gt_row, os.path.join(save_dir, "2_hl.jpg"),
+                          baseline_row, clip_len, gap)
+        plt.close(f)
+        parts.append(os.path.join(save_dir, "2_hl.jpg"))
 
     import matplotlib.image as mpimg
 
@@ -336,6 +348,60 @@ def render_comparison(pred_row, gt_row, out_dir, baseline_row=None,
                 pad_inches=0.1, dpi=80)
     plt.close(fig)
     return save_dir
+
+
+def seconds_to_hms(seconds: float) -> str:
+    """0 -> '0:00:00' (plot/qfvs.py:24-25; hour-long egocentric videos)."""
+    seconds = int(seconds)
+    return f"{seconds // 3600}:{(seconds % 3600) // 60:02d}:{seconds % 60:02d}"
+
+
+def plot_vs_paper(pred_row, out_path=None, shot_seconds: float = 5.0):
+    """QFVS summary-selection figure (plot/qfvs.py:115-215): two stacked
+    shot tracks -- GT summary shots (top) and the predicted top-2% shots
+    (bottom) as filled cells on a white black-bordered strip, with
+    H:MM:SS end labels (5 s shots).
+
+    pred_row: {"top_pred": [shot ids], "gt": [shot ids], "shots": N}.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import patches
+
+    total = int(pred_row["shots"])
+    tracks = [
+        ("GT Summary", np.asarray(pred_row["gt"], int), _PAPER["gt"][1]),
+        ("UniVTG's Summary", np.asarray(pred_row["top_pred"], int),
+         _PAPER["pred"][1]),
+    ]
+    fig, axes = plt.subplots(
+        2, 1, figsize=(50, 2),
+        gridspec_kw={"height_ratios": [1, 1], "hspace": 0.05},
+    )
+    for ax, (name, ids, color) in zip(axes, tracks):
+        colors = ["white"] * total
+        for i in ids[ids < total]:
+            colors[int(i)] = color
+        ax.bar(range(total), np.ones(total), color=colors, width=2,
+               label=name)
+        ax.axis("off")
+        ax.add_patch(patches.Rectangle((0, 0), total, 1, linewidth=1,
+                                       edgecolor="black", facecolor="none"))
+        legend = ax.legend(loc="upper right", handlelength=0, fontsize=13)
+        for text in legend.get_texts():
+            text.set_color(color)
+        ax.set_xlim(left=0, right=total)
+    off = total * 0.01
+    axes[1].text(off, -0.3, seconds_to_hms(0), va="center", ha="center",
+                 fontsize=11)
+    axes[1].text(total - off, -0.3, seconds_to_hms(total * shot_seconds),
+                 va="center", ha="center", fontsize=11)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight", pad_inches=0.2, dpi=100)
+    return fig
 
 
 def plot_comparison_set(pred_jsonl, gt_jsonl, out_dir, baseline_jsonl=None,
