@@ -389,16 +389,19 @@ def test_moe_pipeline_microbatched_learns_and_routes():
 
 
 @pytest.mark.parametrize(
-    "pp,dp,tp,n_micro,extra",
+    "pp,dp,tp,ep,n_micro,extra",
     [
-        (2, 1, 1, 4, {}),  # cond-branch path
-        (2, 2, 1, 2, {}),  # + dp: per-(microbatch x dp-shard) routing
-        (2, 1, 2, 4, {}),  # collective-uniform path (tp AUTO axis)
+        (2, 1, 1, 1, 4, {}),  # cond-branch path
+        (2, 2, 1, 1, 2, {}),  # + dp: per-(microbatch x dp-shard) routing
+        (2, 1, 2, 1, 4, {}),  # collective-uniform path (tp AUTO axis)
+        # ep > 1: the expert all-to-alls are AUTO-axis collectives too, so
+        # the tick body must go collective-uniform exactly like tp
+        (2, 1, 1, 2, 4, {}),
         # interleaved 1F1B (v=2): aux still counted once per (m, chunk)
-        (2, 1, 1, 4, {"num_layers": 8, "pipeline_interleave": 2}),
+        (2, 1, 1, 1, 4, {"num_layers": 8, "pipeline_interleave": 2}),
     ],
 )
-def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, n_micro, extra):
+def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, ep, n_micro, extra):
     """1F1B x MoE (round 5): every chunk's backward recomputes its sown
     load-balance aux and seeds the constant cotangent
     w/(layers x M x dp) through the SAME per-chunk vjp that produces the
@@ -462,7 +465,9 @@ def test_moe_1f1b_matches_microbatched_autodiff(pp, dp, tp, n_micro, extra):
         ref_losses.append(float(loss))
 
     model = UniVTG(cfg_pipe)
-    mesh = make_mesh(dp=dp, tp=tp, pp=pp, devices=jax.devices()[: dp * pp * tp])
+    mesh = make_mesh(
+        dp=dp, tp=tp, pp=pp, ep=ep, devices=jax.devices()[: dp * pp * tp * ep]
+    )
     state = init_state(model, cfg_pipe, opt, jax.random.PRNGKey(0))
     state = state.replace(
         params=jax.device_put(state.params, param_shardings(mesh, state.params))

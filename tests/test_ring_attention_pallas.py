@@ -127,3 +127,41 @@ def test_ring_pallas_impl_in_encoder_eval():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), atol=3e-5, err_msg=k
         )
+
+
+def test_pallas_ring_differentiable_via_xla_ring_backward():
+    """The custom vjp (backward recomputes through the XLA-collective ring)
+    makes the kernel trainable: gradients match single-device SDPA. Before
+    this, jax.grad through the kernel crashed (review r5 finding)."""
+    mesh = make_mesh(dp=1, tp=4)
+    B, L, D, H = 2, 32, 16, 2
+    q, k, v, mask = _qkvm(B, L, D, seed=9, masked=False)
+
+    def loss_pallas(q, k, v):
+        out = ring_attention_pallas(
+            q, k, v, mask, num_heads=H, mesh=mesh, axis="tp", interpret=True
+        )
+        return jnp.sum(out**2)
+
+    def loss_ref(q, k, v):
+        from univtg_tpu.ops.attention import attention_scores_bias, sdpa_xla
+
+        return jnp.sum(sdpa_xla(q, k, v, attention_scores_bias(mask), H) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_pallas_ring_rejects_oversized_bh():
+    from univtg_tpu.ops.ring_attention_pallas import MAX_BH
+
+    mesh = make_mesh(dp=1, tp=4)
+    B, H = 16, 8  # B*H = 128 > MAX_BH
+    assert B * H > MAX_BH
+    q, k, v, mask = _qkvm(B, 32, 64, seed=4, masked=False)
+    with pytest.raises(ValueError, match="MAX_BH|num_heads"):
+        ring_attention_pallas(
+            q, k, v, mask, num_heads=H, mesh=mesh, axis="tp", interpret=True
+        )

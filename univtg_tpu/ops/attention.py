@@ -107,16 +107,21 @@ def multihead_attention(
     v = v_in @ in_proj_kernel[:, 2 * D :] + in_proj_bias[2 * D :]
 
     if impl == "ring_pallas":
-        # hand-scheduled RDMA ring (ops/ring_attention_pallas.py):
-        # inference-only (no vjp; the kernel overlaps the inter-chip K/V
-        # hop under the block matmuls). Falls back to the differentiable
-        # XLA-collective ring when dropout is active (training) and from
+        # hand-scheduled RDMA ring (ops/ring_attention_pallas.py): the
+        # kernel overlaps the inter-chip K/V hop under the block matmuls;
+        # differentiable via its custom vjp (backward recomputes through
+        # the XLA-collective ring). Falls back to "ring" when attention
+        # dropout is active (the kernel has no in-kernel dropout) or the
+        # unrolled kernel would be too large (B*H > MAX_BH), and from
         # there to xla when no suitable mesh is live.
         import jax as _jax
+
+        from univtg_tpu.ops.ring_attention_pallas import MAX_BH
 
         mesh = _jax.sharding.get_abstract_mesh()
         if (
             dropout_rate > 0.0
+            or q.shape[0] * num_heads > MAX_BH
             or mesh is None
             or not mesh.shape
             or "tp" not in mesh.shape

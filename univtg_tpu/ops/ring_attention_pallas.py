@@ -160,23 +160,44 @@ def _ring_kernel(
                 # slot `nxt`; the SPMD rdma descriptor's recv_sem is ours
                 rdma.wait_recv()
 
+    if n_dev > 1:
+        # drain the final credit: each device SIGNALS its left neighbor
+        # n_dev-1 times (one per send) but the in-loop waits consume only
+        # n_dev-2 credits (t >= 1) -- Pallas requires every semaphore back
+        # at zero on kernel exit, and a stale credit would corrupt the
+        # handshake of the next kernel invocation that reuses the scratch
+        pltpu.semaphore_wait(cap_sem, 1)
+
     for b in range(BH):
         out_ref[b] = (accs[b] / jnp.maximum(ls[b], 1e-30)).astype(
             out_ref.dtype
         )
 
 
+# per-device kernel size grows linearly in B*H (the kernel statically
+# unrolls the per-row 2D math); past this many rows the unrolled Mosaic
+# program explodes in compile time and the XLA-collective ring is the
+# right tool anyway (ring attention targets FEW long sequences)
+MAX_BH = 64
+
+
 def ring_attention_pallas(
     q, k, v, key_padding_mask, *, num_heads: int, mesh: Mesh,
     axis: str = "sp", interpret: bool = False,
 ):
-    """Context-parallel SDPA with a hand-scheduled RDMA ring (forward only).
+    """Context-parallel SDPA with a hand-scheduled RDMA ring.
 
     Args/semantics identical to ops/ring_attention.ring_attention (q/k/v
     (B, L, D) with L sharded over ``axis``; key_padding_mask (B, L) float
     1=valid) minus dropout. ``interpret=True`` runs the TPU interpret mode
     (pltpu.InterpretParams), which simulates the inter-device DMAs on the
     virtual CPU mesh -- how the parity tests execute it.
+
+    Differentiable: the forward runs the RDMA kernel; the backward is a
+    custom vjp that recomputes through the XLA-collective ring
+    (ops/ring_attention) -- numerically the same function, with the
+    transposed ppermutes autodiff derives. Requires B*num_heads <= MAX_BH
+    (the kernel unrolls per-row math; beyond that use the XLA ring).
     """
     if key_padding_mask is None:
         key_padding_mask = jnp.ones(q.shape[:2], jnp.float32)
@@ -185,6 +206,13 @@ def ring_attention_pallas(
     if L % n_dev != 0:
         raise ValueError(f"sequence {L} must tile over {axis}={n_dev}")
     H = num_heads
+    if B * H > MAX_BH:
+        raise ValueError(
+            f"ring_attention_pallas: B*num_heads = {B * H} > {MAX_BH}; the "
+            "kernel statically unrolls per-(batch x head) math and would "
+            "compile-explode -- use ops/ring_attention.ring_attention for "
+            "large-batch shapes (ring attention targets few LONG sequences)"
+        )
     dh = D // H
 
     def split_heads(x):
@@ -196,8 +224,6 @@ def ring_attention_pallas(
             .reshape(B * H, x.shape[1], dh)
         )
 
-    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-    mask = jnp.repeat(key_padding_mask.astype(jnp.float32), H, axis=0)
     L_loc = L // n_dev
     BH = B * H
 
@@ -228,13 +254,45 @@ def ring_attention_pallas(
         )(qh, kh, vh, mask)
 
     spec3 = P(None, axis, None)
-    out = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(spec3, spec3, spec3, P(None, axis)),
-        out_specs=spec3,
-        check_vma=False,
-    )(qh, kh, vh, mask)
-    return (
-        out.reshape(B, H, L, dh).transpose(0, 2, 1, 3).reshape(B, L, D)
-    )
+
+    def run_kernel(qh, kh, vh, mask):
+        out = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(spec3, spec3, spec3, P(None, axis)),
+            out_specs=spec3,
+            check_vma=False,
+        )(qh, kh, vh, mask)
+        return (
+            out.reshape(B, H, L, dh).transpose(0, 2, 1, 3).reshape(B, L, D)
+        )
+
+    @jax.custom_vjp
+    def f(q, k, v, key_padding_mask):
+        return run_kernel(
+            split_heads(q), split_heads(k), split_heads(v),
+            jnp.repeat(key_padding_mask.astype(jnp.float32), H, axis=0),
+        )
+
+    def f_fwd(q, k, v, key_padding_mask):
+        return f(q, k, v, key_padding_mask), (q, k, v, key_padding_mask)
+
+    def f_bwd(res, g):
+        # backward recomputes through the differentiable XLA-collective
+        # ring: identical math (same online-softmax recurrence, same
+        # masking), so the cotangents are the kernel's own up to fp
+        # rounding -- and autodiff derives the transposed ppermutes
+        from univtg_tpu.ops.ring_attention import ring_attention
+
+        q, k, v, kpm = res
+        _, vjp = jax.vjp(
+            lambda q, k, v: ring_attention(
+                q, k, v, kpm, num_heads=num_heads, mesh=mesh, axis=axis
+            ),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(kpm)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v, key_padding_mask)

@@ -284,9 +284,15 @@ def pipeline_1f1b(
         train=train,
         need_pos_grad=need_pos_grad,
         axis=axis,
-        # tp rides the shard_map as an AUTO axis; with tp > 1 the tick body
-        # must be collective-uniform (no lax.cond around tp collectives)
-        uniform=mesh.shape.get("tp", 1) > 1,
+        # tp AND ep ride the shard_map as AUTO axes; with either active the
+        # tick body must be collective-uniform -- lax.cond branches would
+        # put the auto-axis collectives (Megatron pair reshards, MoE
+        # dispatch/combine all-to-alls) under device-divergent control
+        # flow, the cross-device rendezvous deadlock documented at the
+        # bwd_uniform docstring
+        uniform=(
+            mesh.shape.get("tp", 1) > 1 or mesh.shape.get("ep", 1) > 1
+        ),
         collect_aux=collect_aux,
         aux_weight=aux_weight,
     )

@@ -83,11 +83,11 @@ class TrainConfig:
     seed: int = 2018
     dp: Optional[int] = None
     tp: int = 1
-    # expert-parallel degree: ep > 1 builds a (dp, ep, tp) mesh, activates
-    # it for the whole run, and shards the MoE expert bank
-    # (cfg.model.moe_experts, ops/moe.py) over the ep axis. Requires
-    # moe_experts % ep == 0; incompatible with pp > 1 (MoE + pipeline is
-    # rejected at the model level).
+    # expert-parallel degree: ep > 1 builds a (dp[, pp], ep, tp) mesh,
+    # activates it for the whole run, and shards the MoE expert bank
+    # (cfg.model.moe_experts, ops/moe.py) over the ep axis. Requires a MoE
+    # model with moe_experts % ep == 0; composes with pp > 1 on both
+    # pipeline schedules (the engines run ep as an AUTO shard_map axis).
     ep: int = 1
     # pipeline-parallel stages: pp > 1 builds a (dp, pp, tp) mesh, activates
     # it for the whole run (jax.set_mesh), and requires
@@ -504,6 +504,15 @@ def _train_mr_impl(
     saver = ckpt.AsyncCheckpointer() if cfg.async_checkpoint else None
     save_ckpt = saver.save if saver is not None else ckpt.save_checkpoint
 
+    from univtg_tpu.train.epoch_runner import StepProfiler
+
+    # one XProf window per run over the first profile_steps steps of the
+    # first trained epoch, rank 0 only (shared implementation with the
+    # HL/QFVS drivers)
+    profiler = StepProfiler(
+        cfg.profile_dir, cfg.profile_steps, enabled=cfg.shard_index == 0
+    )
+
     start_epoch = -1 if cfg.eval_init else 0
     if resume_epoch is not None:
         start_epoch = resume_epoch + 1
@@ -529,34 +538,17 @@ def _train_mr_impl(
                         counts[k] = counts.get(k, 0) + int(arr.size)
                 pending_metrics.clear()
 
-            profiling = (
-                cfg.profile_dir
-                and cfg.profile_steps > 0
-                and cfg.shard_index == 0
-                and epoch == max(start_epoch, 0)
-            )
-            if profiling:
-                jax.profiler.start_trace(cfg.profile_dir)
-
-            def _stop_profile():
-                nonlocal profiling
-                if profiling:
-                    jax.profiler.stop_trace()
-                    logger.info(f"profiler trace written to {cfg.profile_dir}")
-                    profiling = False
+            if epoch == max(start_epoch, 0):
+                profiler.start()
 
             def record(metrics):
                 pending_metrics.append(metrics)
                 if len(pending_metrics) >= 512:
                     _flush_pending()
-                # n_steps counts dispatched steps (K per scan dispatch)
-                if profiling and n_steps >= cfg.profile_steps:
-                    # steps are dispatched asynchronously: without this
-                    # barrier the trace would stop while the device is
-                    # still executing them, recording dispatch gaps
-                    # instead of the promised N steps of device work
-                    jax.block_until_ready(metrics)
-                    _stop_profile()
+                # n_steps counts dispatched steps (K per scan dispatch);
+                # after_step barriers on the metrics before closing the
+                # trace so it captures device work, not dispatch gaps
+                profiler.after_step(n_steps, metrics)
 
             if scan_step is not None:
                 from univtg_tpu.train.steps import stack_batches
@@ -626,7 +618,7 @@ def _train_mr_impl(
             # per-key counts: scan and single-step metrics can differ in key
             # sets (e.g. grad_norm is single-step only)
             _flush_pending()  # device_get barrier: dispatched steps finish
-            _stop_profile()  # short epoch: close the trace at epoch end
+            profiler.stop()  # short epoch: close the trace at epoch end
             line = {
                 "epoch": epoch,
                 "time": dt,

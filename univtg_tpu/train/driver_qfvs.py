@@ -218,6 +218,13 @@ def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
     train_step = make_qfvs_train_step(model, optimizer, cfg.weights)
     eval_fwd = jax.jit(lambda p, mi: forward(model, p, mi, train=False))
 
+    from univtg_tpu.data.prefetch import device_prefetch
+    from univtg_tpu.train.epoch_runner import StepProfiler
+
+    # ONE trace window per run (the first profile_steps steps of the first
+    # split's first epoch), not one per cross-validation split
+    profiler = StepProfiler(cfg.profile_dir, cfg.profile_steps)
+
     for split in cfg.splits:
         test_video = sorted(all_videos - set(split))[0]
         data_cfg = dataclasses.replace(cfg.data, train_videos=tuple(split))
@@ -227,10 +234,6 @@ def train_qfvs(cfg: QFVSTrainConfig, videos_tag=None) -> dict:
 
         best = {"F": 0.0}
         order = np.arange(len(dataset))
-        from univtg_tpu.data.prefetch import device_prefetch
-        from univtg_tpu.train.epoch_runner import StepProfiler
-
-        profiler = StepProfiler(cfg.profile_dir, cfg.profile_steps)
 
         def _prep(idx):
             item = dataset[int(idx)]
