@@ -290,9 +290,12 @@ class Encoder(nn.Module):
                     interleave=self.pipeline_interleave,
                     pre_permuted=self.pipeline_pre_permuted,
                     remat=self.remat,
-                    collect_aux=self.moe_experts > 1,
+                    # eval discards the aux (the sow below is a no-op
+                    # without a mutable collection) -- skip the per-layer
+                    # mutable applies and the aux carry entirely
+                    collect_aux=self.moe_experts > 1 and train,
                 )
-                if self.moe_experts > 1:
+                if self.moe_experts > 1 and train:
                     # MoE x pipeline: the engine returns the load-balance
                     # aux as the mean over (layers x microbatches x
                     # dp-shards) -- routing under a pipeline is per

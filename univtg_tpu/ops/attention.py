@@ -114,11 +114,9 @@ def multihead_attention(
         # dropout is active (the kernel has no in-kernel dropout) or the
         # unrolled kernel would be too large (B*H > MAX_BH), and from
         # there to xla when no suitable mesh is live.
-        import jax as _jax
-
         from univtg_tpu.ops.ring_attention_pallas import MAX_BH
 
-        mesh = _jax.sharding.get_abstract_mesh()
+        mesh = jax.sharding.get_abstract_mesh()
         if (
             dropout_rate > 0.0
             or q.shape[0] * num_heads > MAX_BH
@@ -141,9 +139,7 @@ def multihead_attention(
         # context-parallel: needs an active jax.set_mesh with a "tp" axis
         # whose size tiles the token length; falls back to xla otherwise
         # (e.g. model.init or off-mesh eval of a ring-configured checkpoint)
-        import jax as _jax
-
-        mesh = _jax.sharding.get_abstract_mesh()
+        mesh = jax.sharding.get_abstract_mesh()
         if (
             mesh is None
             or not mesh.shape

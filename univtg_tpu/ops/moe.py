@@ -37,6 +37,19 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
+def sown_moe_aux_sum(ivars) -> "jax.Array":
+    """Sum every 'moe_aux' leaf sown into an intermediates pytree (one
+    scalar per MoE layer applied under the collecting apply). Shared by the
+    pipeline engines' chunk bodies (parallel/pipeline.py,
+    parallel/pipeline_1f1b.py)."""
+    leaves = [
+        jnp.sum(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(ivars)[0]
+        if any(getattr(p, "key", None) == "moe_aux" for p in path)
+    ]
+    return sum(leaves, jnp.zeros((), jnp.float32))
+
+
 def ep_constraint(x, axis: str = "ep"):
     """Shard the leading expert axis of an (E, ...) buffer over the mesh's
     "ep" axis. No-op without an active mesh context (jax.set_mesh) or when

@@ -27,12 +27,14 @@ data). Online softmax matches the collective ring bit-for-bit in exact
 arithmetic: same NEG_INF masking, same running (m, l, acc) recurrence
 (tests/test_ring_attention_pallas.py pins parity in TPU interpret mode).
 
-Scope: forward / inference path. Training keeps the differentiable
-shard_map+ppermute ring (autodiff derives its transposed permutes);
-attention dropout is therefore not implemented here. Measuring the actual
-overlap win needs a real multi-chip pod (docs/PERF.md); on this
-environment the kernel is validated by interpret-mode parity on the
-virtual mesh and a single-device degenerate run on the real chip.
+Scope: the kernel computes the FORWARD; a custom vjp recomputes the
+backward through the differentiable XLA-collective ring (identical math,
+autodiff-derived transposed permutes), so the impl is trainable.
+In-kernel attention dropout is not implemented (callers fall back to the
+XLA ring when dropout is active). Measuring the actual overlap win needs
+a real multi-chip pod (docs/PERF.md); on this environment the kernel is
+validated by interpret-mode parity on the virtual mesh and a
+single-device degenerate run on the real chip.
 """
 from __future__ import annotations
 
@@ -110,9 +112,7 @@ def _ring_kernel(
                 # credit from the RIGHT neighbor: it finished sending from
                 # slot `nxt` (its step t-1), so writing there is safe now
                 pltpu.semaphore_wait(cap_sem, 1)
-            for j, (buf, _) in enumerate(
-                ((kbuf, k_ref), (vbuf, v_ref), (mbuf, mask_ref))
-            ):
+            for j, buf in enumerate((kbuf, vbuf, mbuf)):
                 rdma = pltpu.make_async_remote_copy(
                     src_ref=buf.at[slot],
                     dst_ref=buf.at[nxt],

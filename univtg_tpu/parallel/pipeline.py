@@ -354,17 +354,13 @@ def _pipeline_stage_fn(
                 }
             if collect_aux:
                 h, aux = carry
+                from univtg_tpu.ops.moe import sown_moe_aux_sum
+
                 h, ivars = layer.apply(
                     {"params": p_layer}, h, kmask, posb, train=train,
                     rngs=rngs, mutable=["intermediates"],
                 )
-                sown = [
-                    jnp.sum(leaf)
-                    for path, leaf in
-                    jax.tree_util.tree_flatten_with_path(ivars)[0]
-                    if any(getattr(p, "key", None) == "moe_aux" for p in path)
-                ]
-                return (h, aux + sum(sown)), None
+                return (h, aux + sown_moe_aux_sum(ivars)), None
             h = layer.apply(
                 {"params": p_layer}, carry, kmask, posb, train=train,
                 rngs=rngs,
