@@ -83,17 +83,21 @@ def bench_inference(model, cfg, params, B, Lv, Lt, n_iters):
         return jax.lax.fori_loop(0, n, body, seed)
 
     run = jax.jit(chained, static_argnums=4)
-    # compile + warm; the timed call gets a distinct seed value so a
+    # compile + warm; each timed call gets a distinct seed value so a
     # memoizing runtime cannot replay a cached execution, and the scalar
     # result is fetched to host -- block_until_ready alone does not
-    # actually wait for completion under tunneled runtimes.
+    # actually wait for completion under tunneled runtimes. Best of 3
+    # windows: a transient tunnel stall in a single ~1 s window
+    # under-reports by 20%+ (same rationale as benchkit.time_chained_train).
     float(np.asarray(run(params, model_inputs, targets, jnp.float32(-1.0), n_iters)))
-    t0 = time.perf_counter()
-    out = run(params, model_inputs, targets, jnp.float32(0.0), n_iters)
-    result = float(np.asarray(out))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(result)
-    return B * Lv * n_iters / dt
+    best_dt = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        out = run(params, model_inputs, targets, jnp.float32(trial), n_iters)
+        result = float(np.asarray(out))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+        assert np.isfinite(result)
+    return B * Lv * n_iters / best_dt
 
 
 def main():
