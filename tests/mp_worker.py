@@ -68,7 +68,8 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
     n_epoch = 2
     eval_epoch = 10  # no eval dataset in plain "train" mode
     fault_epoch = -1
-    if mode in ("evaltp", "elastic", "resume", "full4", "shardeval", "pp"):
+    if mode in ("evaltp", "elastic", "resume", "full4", "shardeval", "pp",
+                "ppshardeval"):
         from univtg_tpu.data.mr import MRDataConfig
 
         eval_data = MRDataConfig(
@@ -94,7 +95,7 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
         # (driver_mr._eval_once_sharded)
         sharded_eval = True
         eval_epoch = 2  # evaluate on the final epoch
-    if mode == "pp":
+    if mode in ("pp", "ppshardeval"):
         # pipeline parallelism ACROSS a process gang: pp=2 over each host's
         # 2 local devices, dp=2 across the hosts (make_mesh row-major
         # (dp, pp, tp) keeps the activation ppermutes on local links).
@@ -108,6 +109,12 @@ def build_cfg(meta: dict, results_dir: str, mode: str = "train"):
             pipeline_microbatches=2,
         )
         eval_epoch = 2  # evaluate on the final epoch
+        if mode == "ppshardeval":
+            # composed path: every rank decodes its stride-shard of the
+            # val set through the driver's LOCAL non-pipeline twin on the
+            # gathered canonical params, submissions allgathered, rank 0
+            # merges (sharded_eval x multi-process pp)
+            sharded_eval = True
     if mode == "evaltp":
         # dp=2 x tp=2 over the 4 global devices; row-major device order
         # keeps each tp PAIR within one host (the production Megatron

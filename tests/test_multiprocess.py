@@ -488,3 +488,38 @@ def test_two_process_pipeline_parallel_gang(corpus_meta, tmp_path):
             epoch, mp_line["loss_overall"], want,
         )
         assert mp_line["steps"] == len(losses)
+
+
+@pytest.mark.slow
+def test_two_process_pp_sharded_eval(corpus_meta, tmp_path):
+    """sharded_eval composed with multi-process pipeline parallelism: each
+    rank scores its stride-shard of the val set through the driver's local
+    non-pipeline twin (canonical gathered params), rank 0 merges. The
+    persisted submission must cover the WHOLE val set and the metrics must
+    be finite."""
+    results = str(tmp_path / "mp_pp_se")
+    procs = _launch_gang(2, corpus_meta, results, mode="ppshardeval")
+    _wait_gang(procs)
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from mp_worker import build_cfg
+
+    from univtg_tpu.data.mr import MRDataset
+
+    meta = json.load(open(corpus_meta))
+    cfg = build_cfg(meta, str(tmp_path / "unused"), mode="ppshardeval")
+    eval_ds = MRDataset(cfg.eval_data)
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(results, "p0", "latest_val_preds.jsonl"))
+    ]
+    assert len(rows) == len(eval_ds.data)  # both shards merged
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(results, "p0", "eval_log.jsonl"))
+    ]
+    assert len(lines) == 1 and np.isfinite(lines[0]["MR-full-mAP-key"])
+    # rank 1 wrote no eval artifacts (merge is rank-0-only)
+    assert not os.path.exists(
+        os.path.join(results, "p1", "latest_val_preds.jsonl")
+    )
