@@ -70,7 +70,9 @@ def make_qfvs_train_step(model, optimizer, weights: LossWeights):
     wd = weights.as_dict()
 
     def step(state, in1, in2, in_oracle, gt1, gt2, gt_oracle, mask_flat, rng):
-        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        from univtg_tpu.train.steps import step_dropout_rngs
+
+        drop_rng, path_rng = step_dropout_rngs(rng, state.step)
         rngs = {"dropout": drop_rng, "droppath": path_rng}
 
         def loss_fn(params):

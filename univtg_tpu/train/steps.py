@@ -46,6 +46,35 @@ def init_state(model, cfg, optimizer, rng, batch_shapes=None):
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def step_dropout_rngs(rng, step, n: int = 2):
+    """Per-step dropout/droppath keys with hardware-RBG bit generation.
+
+    Key DERIVATION (fold_in on the step counter + split) stays on the
+    default threefry stream, but the returned keys are re-wrapped as
+    'rbg'-impl keys, so every jax.random draw inside the jitted step (the
+    nn.Dropout masks, attention dropout, droppath coin flips) uses the
+    TPU's hardware RngBitGenerator instead of in-MXU threefry: measured
+    7.8% faster full train steps at the flagship shape (56.93 vs 61.35
+    ms/step at B=256, docs/PERF.md "PRNG"). Mask DISTRIBUTION is
+    identical; the exact bits differ from the threefry stream (and may
+    differ across backends/compiler versions) -- the standard dropout
+    contract. Parameter initialization and all host-side sampling are
+    untouched (this function is the ONLY place the impl changes)."""
+    keys = jax.random.split(jax.random.fold_in(rng, step), n)
+
+    def as_rbg(k):
+        data = (
+            jax.random.key_data(k)
+            if jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+            else k
+        )
+        return jax.random.wrap_key_data(
+            jnp.tile(data, 2), impl="rbg"  # rbg keys are 4x uint32
+        )
+
+    return tuple(as_rbg(k) for k in keys)
+
+
 def dequantize_inputs(model_inputs):
     """Reconstruct float features from (int8 q, per-token scale) pairs
     produced by data/collate.quantize_for_transfer (transfer_dtype='int8').
@@ -106,7 +135,7 @@ def make_train_step(
     """
 
     def step(state: TrainState, model_inputs, targets, rng):
-        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        drop_rng, path_rng = step_dropout_rngs(rng, state.step)
         if static_inputs:
             model_inputs = {**model_inputs, **static_inputs}
 
@@ -149,7 +178,7 @@ def make_scan_train_step(
     """
 
     def one_step(state, model_inputs, targets, rng):
-        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        drop_rng, path_rng = step_dropout_rngs(rng, state.step)
 
         def loss_fn(params):
             outputs = forward(
@@ -220,7 +249,7 @@ def make_md_train_step(model, optimizer, weights, eos_coef=0.1, saliency_margin=
     wd = weights.as_dict()
 
     def step(state: TrainState, model_inputs, targets, rng):
-        drop_rng, path_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        drop_rng, path_rng = step_dropout_rngs(rng, state.step)
 
         def loss_fn(params):
             outputs = forward(

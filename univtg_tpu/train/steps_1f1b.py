@@ -157,9 +157,9 @@ def make_1f1b_train_step(
         model_inputs = dequantize_inputs(model_inputs)
         src_cls = model_inputs.get("src_cls")
         src_cls_mask = model_inputs.get("src_cls_mask")
-        pre_rng, drop_rng, path_rng = jax.random.split(
-            jax.random.fold_in(rng, state.step), 3
-        )
+        from univtg_tpu.train.steps import step_dropout_rngs
+
+        pre_rng, drop_rng, path_rng = step_dropout_rngs(rng, state.step, 3)
         params = state.params
         pre_params = {k: params[k] for k in PRE_PARAM_KEYS if k in params}
         head_params = {k: params[k] for k in HEAD_PARAM_KEYS if k in params}

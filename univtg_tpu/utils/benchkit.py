@@ -56,8 +56,10 @@ def make_chained_train(model, optimizer, weights: LossWeights | None = None):
     def one_step(state, mi, tg, seedlike):
         mi2 = dict(mi)
         mi2["src_vid"] = mi["src_vid"] + seedlike * 1e-6
-        drop_rng, path_rng = jax.random.split(
-            jax.random.fold_in(jax.random.PRNGKey(7), state.step)
+        from univtg_tpu.train.steps import step_dropout_rngs
+
+        drop_rng, path_rng = step_dropout_rngs(
+            jax.random.PRNGKey(7), state.step
         )
 
         def loss_fn(params):
